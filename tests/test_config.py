@@ -1,0 +1,85 @@
+import dataclasses
+
+import pytest
+
+from detectandtrack_tpu.core.config import (
+    Config,
+    assert_and_infer_cfg,
+    cfg_to_dict,
+    load_cfg,
+    merge_cfg_from_file,
+    merge_cfg_from_list,
+)
+
+
+def test_defaults_validate():
+    cfg = assert_and_infer_cfg(Config())
+    assert cfg.MODEL.CONV_BODY == "resnet50"
+    assert cfg.KRCNN.NUM_KEYPOINTS == 15
+
+
+def test_frozen_and_hashable():
+    cfg = Config()
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        cfg.MODEL.NUM_CLASSES = 3  # type: ignore[misc]
+    assert hash(cfg) == hash(Config())
+    assert cfg == Config()
+
+
+def test_merge_from_list():
+    cfg = merge_cfg_from_list(
+        Config(),
+        ["MODEL.CONV_BODY", "resnet18",
+         "VIDEO.VIDEO_ON", "true",
+         "VIDEO.NUM_FRAMES", "3",
+         "SOLVER.BASE_LR", "0.01",
+         "RPN.SIZES", "[16, 32, 64, 128, 256]"],
+    )
+    assert cfg.MODEL.CONV_BODY == "resnet18"
+    assert cfg.VIDEO.VIDEO_ON is True
+    assert cfg.VIDEO.NUM_FRAMES == 3
+    assert cfg.SOLVER.BASE_LR == 0.01
+    assert cfg.RPN.SIZES == (16, 32, 64, 128, 256)
+
+
+def test_merge_from_yaml(tmp_path):
+    p = tmp_path / "exp.yaml"
+    p.write_text(
+        """
+MODEL:
+  CONV_BODY: resnet101
+  KEYPOINTS_ON: true
+VIDEO:
+  VIDEO_ON: true
+  NUM_FRAMES: 8
+  TIME_KERNEL_DIM: [3, 3, 3, 3, 1]
+TEST:
+  SHAPE_BUCKETS: [[256, 320], [800, 1344]]
+"""
+    )
+    cfg = merge_cfg_from_file(Config(), str(p))
+    cfg = assert_and_infer_cfg(cfg)
+    assert cfg.MODEL.CONV_BODY == "resnet101"
+    assert cfg.VIDEO.NUM_FRAMES == 8
+    assert cfg.VIDEO.TIME_KERNEL_DIM == (3, 3, 3, 3, 1)
+    assert cfg.TEST.SHAPE_BUCKETS == ((256, 320), (800, 1344))
+
+
+def test_unknown_key_raises():
+    with pytest.raises(KeyError):
+        merge_cfg_from_list(Config(), ["MODEL.NO_SUCH", 1])
+
+
+def test_bad_values_raise():
+    with pytest.raises(ValueError):
+        load_cfg(opts=["MODEL.CONV_BODY", "vgg16"])
+    with pytest.raises(ValueError):
+        load_cfg(opts=["VIDEO.NUM_FRAMES", 8])  # without VIDEO_ON
+    with pytest.raises(ValueError):
+        load_cfg(opts=["TEST.SHAPE_BUCKETS", "[[100, 100]]"])  # not /32
+
+
+def test_cfg_to_dict_roundtrip():
+    d = cfg_to_dict(Config())
+    assert d["MODEL"]["CONV_BODY"] == "resnet50"
+    assert d["RPN"]["SIZES"] == [32, 64, 128, 256, 512]
