@@ -1,0 +1,179 @@
+"""Fixed-shape NMS for TPU — masked, static-size, jit-native.
+
+Reference parity: `lib/utils/cython_nms.pyx` (greedy NMS + soft-NMS), called
+from `GenerateProposalsOp` and `box_results_with_nms_and_limit` (SURVEY.md
+§2.2, §3.2). The reference suppresses on host in Cython with dynamic output
+counts; on TPU the whole thing stays in the XLA graph with a static budget:
+
+    keep_idx, keep_mask = nms_fixed(boxes, scores, thresh, max_out, valid)
+
+Algorithm: sort by score (invalid → -inf), precompute the IoU matrix once
+(N ≤ ~2000, so N² f32 fits VMEM-scale working sets), then a `fori_loop`
+sweep in score order flips off every later box overlapped by a surviving
+earlier box — exactly the greedy semantics of the Cython original. The
+output is always `max_out` indices plus a validity mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import bbox_overlaps
+
+_NEG_INF = -1e10
+
+
+def _greedy_keep(iou: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Greedy suppression over boxes already sorted by descending score.
+
+    iou: (N, N) IoU of sorted boxes with `iou > thresh` pre-thresholded as a
+    bool matrix. Returns keep mask (N,).
+    """
+    later = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)  # j strictly after i
+    suppress = iou & later
+
+    def body(i, keep):
+        # If box i survived, kill every later overlapping box.
+        row = suppress[i] & keep[i]
+        return keep & ~row
+
+    return jax.lax.fori_loop(0, n, body, jnp.ones((n,), dtype=bool))
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def nms_fixed(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_thresh: float,
+    max_out: int,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS with a static output budget.
+
+    Args:
+      boxes: (N, 4) x1y1x2y2.
+      scores: (N,).
+      iou_thresh: suppression threshold (strictly-greater comparison, matching
+        the Cython reference's `ovr > thresh`).
+      max_out: static number of survivors returned.
+      valid: optional (N,) bool; invalid rows can never be kept.
+
+    Returns:
+      (keep_idx, keep_mask): (max_out,) int32 indices into the input arrays in
+      descending score order, and (max_out,) bool marking real survivors.
+      Masked-out slots point at index 0 — consumers must apply the mask.
+    """
+    n = boxes.shape[0]
+    scores = jnp.asarray(scores, jnp.float32)
+    if valid is not None:
+        scores = jnp.where(valid, scores, _NEG_INF)
+
+    order = jnp.argsort(-scores)
+    sboxes = boxes[order]
+    sscores = scores[order]
+
+    iou = bbox_overlaps(sboxes, sboxes) > iou_thresh
+    keep = _greedy_keep(iou, n)
+    keep = keep & (sscores > _NEG_INF / 2)
+
+    # Select up to max_out survivors, preserving score order: give kept boxes
+    # their (ascending) position rank, push dropped ones to the end.
+    rank = jnp.where(keep, jnp.arange(n), n)
+    sel = jnp.argsort(rank)[:max_out]
+    keep_mask = keep[sel]
+    keep_idx = jnp.where(keep_mask, order[sel], 0)
+    return keep_idx.astype(jnp.int32), keep_mask
+
+
+@partial(jax.jit, static_argnames=("max_out", "method"))
+def soft_nms_fixed(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_out: int,
+    sigma: float = 0.5,
+    iou_thresh: float = 0.3,
+    score_thresh: float = 0.001,
+    method: str = "linear",
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Soft-NMS (Bodla et al.) with a static output budget.
+
+    Parity: `cython_nms.soft_nms` (linear / gaussian). Sequentially picks the
+    highest remaining box `max_out` times, decaying overlapping scores.
+
+    Returns (keep_idx, keep_mask, new_scores[max_out]).
+    """
+    n = boxes.shape[0]
+    scores = jnp.asarray(scores, jnp.float32)
+    if valid is not None:
+        scores = jnp.where(valid, scores, _NEG_INF)
+    iou = bbox_overlaps(boxes, boxes)
+
+    def body(state, _):
+        cur_scores, alive = state
+        masked = jnp.where(alive, cur_scores, _NEG_INF)
+        i = jnp.argmax(masked)
+        top_score = masked[i]
+        ok = top_score > score_thresh
+        row = iou[i]
+        if method == "linear":
+            decay = jnp.where(row > iou_thresh, 1.0 - row, 1.0)
+        else:  # gaussian
+            decay = jnp.exp(-(row * row) / sigma)
+        new_scores = jnp.where(alive, cur_scores * decay, cur_scores)
+        alive = alive & (jnp.arange(n) != i)
+        return (new_scores, alive), (jnp.where(ok, i, 0), ok,
+                                     jnp.where(ok, top_score, 0.0))
+
+    init = (scores, scores > _NEG_INF / 2)
+    (_, _), (idx, mask, out_scores) = jax.lax.scan(
+        body, init, None, length=max_out)
+    return idx.astype(jnp.int32), mask, out_scores
+
+
+def batched_nms_fixed(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    iou_thresh: float,
+    max_out: int,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Class-aware NMS: boxes of different classes never suppress each other.
+
+    Implemented with the standard coordinate-offset trick so a single
+    `nms_fixed` call handles all classes.
+    """
+    max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0)) + 1.0
+    offsets = class_ids.astype(jnp.float32)[:, None] * (max_coord + 1.0)
+    return nms_fixed(boxes + offsets, scores, iou_thresh, max_out, valid)
+
+
+def nms_numpy(boxes, scores, thresh):
+    """Host/numpy oracle with the exact Cython-reference semantics.
+
+    Used by unit tests and by any host-side fallback path.
+    """
+    import numpy as np
+
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        ovr = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][ovr <= thresh]
+    return keep

@@ -1,0 +1,75 @@
+import numpy as np
+
+from detectandtrack_tpu.ops import keypoints as K
+
+
+def test_posetrack_has_15_coco_17():
+    names, flip = K.get_keypoints("posetrack")
+    assert len(names) == 15
+    assert flip["left_hip"] == "right_hip"
+    names, _ = K.get_keypoints("coco")
+    assert len(names) == 17
+
+
+def test_flip_permutation_involution():
+    for ds in ("posetrack", "coco"):
+        p = K.flip_permutation(ds)
+        np.testing.assert_array_equal(p[p], np.arange(len(p)))
+        # non-sided joints stay put
+        names, flip_map = K.get_keypoints(ds)
+        for i, n in enumerate(names):
+            if n not in flip_map:
+                assert p[i] == i
+
+
+def test_flip_keypoints_roundtrip():
+    rng = np.random.default_rng(0)
+    kps = rng.uniform(0, 100, (2, 15, 3)).astype(np.float32)
+    back = K.flip_keypoints(K.flip_keypoints(kps, 100), 100)
+    np.testing.assert_allclose(back, kps, atol=1e-5)
+
+
+def test_heatmap_decode_matches_oracle():
+    rng = np.random.default_rng(1)
+    hm = rng.normal(size=(3, 15, 56, 56)).astype(np.float32)
+    rois = np.array([[10, 20, 110, 220], [0, 0, 56, 56], [5, 5, 6, 6]],
+                    np.float32)
+    dev = np.asarray(K.heatmaps_to_keypoints(hm, rois))
+    ora = K.heatmaps_to_keypoints_numpy(hm, rois)
+    np.testing.assert_allclose(dev, ora, atol=1e-4)
+
+
+def test_heatmap_decode_peak_location():
+    hm = np.full((1, 1, 56, 56), -5.0, np.float32)
+    hm[0, 0, 28, 14] = 10.0  # py=28, px=14
+    rois = np.array([[0.0, 0.0, 112.0, 112.0]], np.float32)
+    out = np.asarray(K.heatmaps_to_keypoints(hm, rois))
+    # bin 14 of 56 over width 112 → x = (14+0.5)*2 = 29 (±0.5 for offset)
+    assert abs(out[0, 0, 0] - 29.0) <= 0.5
+    assert abs(out[0, 0, 1] - 57.0) <= 0.5
+    assert out[0, 0, 2] == 10.0
+
+
+def test_flip_heatmaps_consistent_with_decode():
+    rng = np.random.default_rng(2)
+    hm = rng.normal(size=(1, 15, 56, 56)).astype(np.float32)
+    rois = np.array([[0, 0, 56, 56]], np.float32)
+    flipped = np.asarray(K.flip_heatmaps(hm))
+    a = np.asarray(K.heatmaps_to_keypoints(hm, rois))[0]
+    b = np.asarray(K.heatmaps_to_keypoints(flipped, rois))[0]
+    perm = K.flip_permutation("posetrack")
+    # x mirrored within the 56-wide roi (bin-center mirror), joints permuted
+    np.testing.assert_allclose(b[perm, 0], 56.0 - a[:, 0], atol=0.51)
+
+
+def test_oks_perfect_match():
+    gt = np.zeros((1, 15, 3), np.float32)
+    gt[0, :, 0] = np.arange(15) * 3
+    gt[0, :, 1] = 7
+    gt[0, :, 2] = 2
+    pred = gt[:, :, :2].copy()
+    oks = K.compute_oks(pred, gt, np.array([100.0]))
+    np.testing.assert_allclose(oks, [[1.0]], atol=1e-6)
+    far = pred + 1000
+    oks2 = K.compute_oks(far, gt, np.array([100.0]))
+    assert oks2[0, 0] < 1e-3

@@ -1,0 +1,81 @@
+import numpy as np
+
+from detectandtrack_tpu.ops.nms import (
+    batched_nms_fixed,
+    nms_fixed,
+    nms_numpy,
+    soft_nms_fixed,
+)
+
+
+def _rand(rng, n):
+    x1 = rng.uniform(0, 100, n)
+    y1 = rng.uniform(0, 100, n)
+    w = rng.uniform(5, 60, n)
+    h = rng.uniform(5, 60, n)
+    boxes = np.stack([x1, y1, x1 + w, y1 + h], 1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    return boxes, scores
+
+
+def test_matches_cython_semantics_oracle():
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        boxes, scores = _rand(rng, 50)
+        ref = nms_numpy(boxes, scores, 0.5)
+        idx, mask = nms_fixed(boxes, scores, 0.5, max_out=50)
+        got = [int(i) for i, m in zip(np.asarray(idx), np.asarray(mask)) if m]
+        assert got == ref, f"trial {trial}"
+
+
+def test_budget_truncates_in_score_order():
+    rng = np.random.default_rng(1)
+    boxes, scores = _rand(rng, 40)
+    ref = nms_numpy(boxes, scores, 0.5)
+    idx, mask = nms_fixed(boxes, scores, 0.5, max_out=3)
+    got = [int(i) for i, m in zip(np.asarray(idx), np.asarray(mask)) if m]
+    assert got == ref[:3]
+
+
+def test_valid_mask_excludes():
+    boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10], [50, 50, 60, 60]],
+                     np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    valid = np.array([False, True, True])
+    idx, mask = nms_fixed(boxes, scores, 0.5, max_out=3, valid=valid)
+    got = [int(i) for i, m in zip(np.asarray(idx), np.asarray(mask)) if m]
+    assert got == [1, 2]  # box 0 invalid, so box 1 survives
+
+
+def test_all_invalid_gives_empty():
+    boxes = np.zeros((4, 4), np.float32)
+    scores = np.zeros(4, np.float32)
+    idx, mask = nms_fixed(boxes, scores, 0.5, max_out=4,
+                          valid=np.zeros(4, bool))
+    assert not np.asarray(mask).any()
+
+
+def test_batched_nms_classes_dont_suppress():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    same = np.array([0, 0])
+    diff = np.array([0, 1])
+    _, m_same = batched_nms_fixed(boxes, scores, same, 0.5, 2)
+    _, m_diff = batched_nms_fixed(boxes, scores, diff, 0.5, 2)
+    assert int(np.asarray(m_same).sum()) == 1
+    assert int(np.asarray(m_diff).sum()) == 2
+
+
+def test_soft_nms_decays_overlapping():
+    boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10], [50, 50, 60, 60]],
+                     np.float32)
+    scores = np.array([0.9, 0.85, 0.5], np.float32)
+    idx, mask, new_scores = soft_nms_fixed(boxes, scores, max_out=3,
+                                           method="gaussian")
+    idx, mask, new_scores = (np.asarray(idx), np.asarray(mask),
+                             np.asarray(new_scores))
+    assert mask.all()
+    assert idx[0] == 0 and new_scores[0] == 0.9
+    # duplicate box's score decayed below the far box
+    pos1 = list(idx).index(1)
+    assert new_scores[pos1] < 0.5
