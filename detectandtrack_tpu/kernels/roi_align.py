@@ -1,0 +1,395 @@
+"""RoIAlign / RoIAlign-3D as Pallas TPU kernels.
+
+Reference parity: the reference ships custom Caffe2 C++/CUDA ops `RoIAlign`
+and its 3D/tube variant (SURVEY.md §2.2) doing per-sample bilinear gather.
+A gather kernel is the CUDA-native design; the TPU-native redesign exploits
+that RoIAlign is **separable**:
+
+    out[p, q, c] = Σ_i Σ_j A[p, i] · B[q, j] · patch[i, j, c]
+
+where A (P×PH) and B (P×PW) are per-RoI interpolation matrices (bilinear hat
+weights averaged over the sampling grid — sample y-coords depend only on the
+bin row, x-coords only on the bin column, and the bilinear weight factorizes
+as wy·wx). So the kernel is: DMA a fixed patch around the RoI from HBM into
+VMEM, build A and B on the VPU, and run two small matmuls on the MXU. No
+gathers, no scalar loops, MXU-friendly, double-buffered across the RoI grid.
+
+RoIAlign-3D ("tube pooling": per-frame RoIAlign along a tube, time axis
+preserved) is the same kernel with the grid flattened over (roi, frame) pairs
+and per-pair feature-slab indices.
+
+Coordinate semantics match Detectron's RoIAlign: continuous coordinates,
+`spatial_scale` applied to box coords, `roi_size = max(end - start, 1)`,
+sampling_ratio² samples per bin at bin-interior positions, samples outside
+[-1, size] contribute zero, in-range samples clamp to [0, size-1].
+
+A pure-XLA reference implementation (`roi_align_reference`) provides the
+numpy-checkable oracle, the CPU path, and the backward pass (the Pallas
+forward is wrapped in custom_vjp whose backward is the XLA vjp of the
+reference — identical math).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Default patch slab DMA'd per RoI. With FPN level assignment an RoI spans at
+# most ~2× the canonical 14 feature cells (+bilinear halo). The W-origin of
+# the per-RoI DMA must be 8-aligned (sublane tiling), so the x-origin is
+# rounded down by up to 7 cells and the wrapper pads the map's W by `patch`.
+# CONTRACT: correct for RoIs spanning <= patch-8 cells in x and patch-1 in y
+# (or when the map itself fits in the patch); callers pick patch accordingly
+# (the FPN wrapper does).
+_PATCH = 40
+_ALIGN = 8
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA reference (oracle, CPU path, and source of the backward pass)
+# ---------------------------------------------------------------------------
+
+def roi_align_reference(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    spatial_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Exact RoIAlign on a (H, W, C) feature map; rois (R, 4) → (R, P, P, C)."""
+    h, w, _ = features.shape
+    p, s = output_size, sampling_ratio
+
+    def one(roi):
+        x1, y1, x2, y2 = roi * spatial_scale
+        roi_w = jnp.maximum(x2 - x1, 1.0)
+        roi_h = jnp.maximum(y2 - y1, 1.0)
+        bin_w = roi_w / p
+        bin_h = roi_h / p
+        # Sample positions: (P, s) each axis.
+        iy = jnp.arange(p)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s
+        ys = y1 + iy * bin_h                                  # (P, s)
+        xs = x1 + iy * bin_w
+        yv = ((ys > -1.0) & (ys < h)).astype(features.dtype)
+        xv = ((xs > -1.0) & (xs < w)).astype(features.dtype)
+        yc = jnp.clip(ys, 0.0, h - 1.0)
+        xc = jnp.clip(xs, 0.0, w - 1.0)
+
+        def hat(coords, n):  # (P, s) vs grid (n,) → (P, s, n) bilinear basis
+            grid = jnp.arange(n, dtype=features.dtype)
+            return jnp.maximum(
+                0.0, 1.0 - jnp.abs(coords[..., None] - grid[None, None, :]))
+
+        ay = hat(yc, h) * yv[..., None]          # (P, s, H)
+        ax = hat(xc, w) * xv[..., None]          # (P, s, W)
+        a = ay.sum(1) / s                        # (P, H) mean over samples
+        b = ax.sum(1) / s                        # (P, W)
+        tmp = jnp.einsum("ph,hwc->pwc", a, features)
+        return jnp.einsum("qw,pwc->pqc", b, tmp)
+
+    return jax.vmap(one)(jnp.asarray(rois, features.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _interp_matrix(start, bin_size, origin, p, s, patch, size, dtype):
+    """Per-axis interpolation matrix (p, patch) in patch-local coords."""
+    # Mosaic requires integer iota; cast afterwards.
+    iy = (jax.lax.broadcasted_iota(jnp.int32, (p, s), 0).astype(jnp.float32)
+          + (jax.lax.broadcasted_iota(jnp.int32, (p, s), 1).astype(
+              jnp.float32) + 0.5) / s)
+    coords = start + iy * bin_size                          # (p, s) global
+    valid = ((coords > -1.0) & (coords < size)).astype(jnp.float32)
+    coords = jnp.clip(coords, 0.0, size - 1.0) - origin     # patch-local
+    # Patch is positioned to contain all in-range samples; clamp is a no-op
+    # except for degenerate oversized RoIs (see _patch_origin).
+    coords = jnp.clip(coords, 0.0, patch - 1.0)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (p, s, patch), 2).astype(
+        jnp.float32)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - grid))
+    return (hat * valid[..., None]).sum(1).astype(dtype) / s  # (p, patch)
+
+
+def _roi_align_kernel(
+    # scalar-prefetch refs
+    rois_ref,       # (N, 4) f32 — scaled to feature coords
+    slab_ref,       # (N,) i32 — source slab (frame) index
+    # tensor refs
+    feat_ref,       # (S, H, W, C) in ANY/HBM
+    out_ref,        # (1, P, P, C) VMEM block for this program
+    # scratch
+    patch0, patch1, sems,
+    *, p: int, s: int, h: int, w: int, c: int, n: int, patch: int,
+):
+    i = pl.program_id(0)
+
+    def patch_origin_y(lo):
+        # H origin: covering [floor(lo), ...), clamped into bounds (H dim is
+        # not sublane-tiled, any origin is legal).
+        o = jnp.floor(lo).astype(jnp.int32)
+        return jnp.clip(o, 0, max(h - min(patch, h), 0))
+
+    def patch_origin_x(lo):
+        # W origin: 8-aligned for the DMA; the map is W-padded by `patch`
+        # so no upper clamp is needed (padded cells get zero weight).
+        o = jnp.floor(lo).astype(jnp.int32)
+        o = (o // _ALIGN) * _ALIGN
+        return pl.multiple_of(jnp.maximum(o, 0), _ALIGN)
+
+    def roi_params(idx):
+        x1 = rois_ref[idx, 0]
+        y1 = rois_ref[idx, 1]
+        x2 = rois_ref[idx, 2]
+        y2 = rois_ref[idx, 3]
+        bin_h = jnp.maximum(y2 - y1, 1.0) / p
+        bin_w = jnp.maximum(x2 - x1, 1.0) / p
+        return x1, y1, bin_w, bin_h
+
+    def start_dma(idx, slot_ref, sem):
+        x1, y1, _, _ = roi_params(idx)
+        oy = patch_origin_y(jnp.clip(y1, 0.0, h - 1.0))
+        ox = patch_origin_x(jnp.clip(x1, 0.0, w - 1.0))
+        slab = slab_ref[idx]
+        pltpu.make_async_copy(
+            feat_ref.at[slab, pl.ds(oy, min(patch, h)), pl.ds(ox, patch), :],
+            slot_ref,
+            sem,
+        ).start()
+        return oy, ox
+
+    # Double buffer: program i waits on the DMA started at program i-1 (or
+    # kicks off its own at i == 0), and starts the DMA for i + 1.
+    @pl.when(i == 0)
+    def _():
+        start_dma(0, patch0, sems.at[0])
+
+    @pl.when(i + 1 < n)
+    def _():
+        slot = jax.lax.rem(i + 1, 2)
+        jax.lax.cond(
+            slot == 0,
+            lambda: start_dma(i + 1, patch0, sems.at[0]) and None,
+            lambda: start_dma(i + 1, patch1, sems.at[1]) and None,
+        )
+
+    cur = jax.lax.rem(i, 2)
+    pltpu.make_async_copy(feat_ref.at[0, pl.ds(0, min(patch, h)),
+                                      pl.ds(0, patch), :],
+                          patch0, sems.at[cur]).wait()
+
+    x1, y1, bin_w, bin_h = roi_params(i)
+    oy = patch_origin_y(jnp.clip(y1, 0.0, h - 1.0)).astype(jnp.float32)
+    ox = patch_origin_x(jnp.clip(x1, 0.0, w - 1.0)).astype(jnp.float32)
+    ph = min(patch, h)
+    pw = patch
+    a = _interp_matrix(y1, bin_h, oy, p, s, ph, float(h), jnp.float32)
+    b = _interp_matrix(x1, bin_w, ox, p, s, pw, float(w), jnp.float32)
+
+    patch = jax.lax.cond(cur == 0, lambda: patch0[...], lambda: patch1[...])
+    patch = patch.astype(jnp.float32)
+
+    tmp = jnp.dot(a, patch.reshape(ph, pw * c),
+                  preferred_element_type=jnp.float32)           # (P, PW*C)
+    tmp = tmp.reshape(p, pw, c).transpose(1, 0, 2).reshape(pw, p * c)
+    out = jnp.dot(b, tmp, preferred_element_type=jnp.float32)   # (Pq, P*C)
+    out = out.reshape(p, p, c).transpose(1, 0, 2)               # (p, q, c)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _roi_align_pallas(
+    features: jnp.ndarray,       # (S, H, W, C)
+    rois: jnp.ndarray,           # (N, 4) feature coords
+    slabs: jnp.ndarray,          # (N,) int32
+    output_size: int,
+    sampling_ratio: int,
+    patch: int = _PATCH,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    s_dim, h, w, c = features.shape
+    n = rois.shape[0]
+    p = output_size
+    ph = min(patch, h)
+    pw = patch
+    # Pad W by `patch` so 8-aligned x-origins never need an upper clamp; the
+    # padded cells are never referenced (sample coords clamp to w-1).
+    features = jnp.pad(features, ((0, 0), (0, 0), (0, patch), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ph, pw, c), features.dtype),
+            pltpu.VMEM((ph, pw, c), features.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _roi_align_kernel, p=p, s=sampling_ratio, h=h, w=w, c=c, n=n,
+        patch=patch)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, p, p, c), features.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.2 * (2 * ph * pw * c * 4
+                                        + p * p * c * 4) + 2 ** 20),
+        ),
+    )(jnp.asarray(rois, jnp.float32), jnp.asarray(slabs, jnp.int32),
+      features)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def _use_pallas(override: Optional[bool]) -> bool:
+    if override is not None:
+        return override
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def roi_align(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    spatial_scale: float = 1.0,
+    use_pallas: Optional[bool] = None,
+    patch_size: int = _PATCH,
+) -> jnp.ndarray:
+    """RoIAlign. features (H, W, C), rois (R, 4) image coords → (R, P, P, C).
+
+    Forward runs the Pallas kernel on TPU (XLA reference elsewhere); backward
+    is the XLA vjp of the reference implementation (identical math).
+    """
+    if _use_pallas(use_pallas):
+        scaled = jnp.asarray(rois, jnp.float32) * spatial_scale
+        slabs = jnp.zeros((rois.shape[0],), jnp.int32)
+        return _roi_align_pallas(features[None], scaled, slabs,
+                                 output_size, sampling_ratio, patch_size)
+    return roi_align_reference(features, rois, output_size, sampling_ratio,
+                               spatial_scale)
+
+
+def _roi_align_fwd(features, rois, output_size, sampling_ratio,
+                   spatial_scale, use_pallas, patch_size):
+    out = roi_align(features, rois, output_size, sampling_ratio,
+                    spatial_scale, use_pallas, patch_size)
+    return out, (features, rois)
+
+
+def _roi_align_bwd(output_size, sampling_ratio, spatial_scale, use_pallas,
+                   patch_size, res, g):
+    features, rois = res
+    _, vjp = jax.vjp(
+        lambda f: roi_align_reference(f, rois, output_size, sampling_ratio,
+                                      spatial_scale), features)
+    (d_features,) = vjp(g)
+    return d_features, None
+
+
+roi_align.defvjp(_roi_align_fwd, _roi_align_bwd)
+
+
+def roi_align_3d(
+    features: jnp.ndarray,        # (T, H, W, C)
+    tube_rois: jnp.ndarray,       # (R, 4*T) per-frame boxes
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    spatial_scale: float = 1.0,
+    use_pallas: Optional[bool] = None,
+    patch_size: int = _PATCH,
+) -> jnp.ndarray:
+    """Tube pooling: per-frame RoIAlign along each tube → (R, T, P, P, C).
+
+    Parity: the reference's custom RoIAlign-3D Caffe2 op (SURVEY.md §2.2 —
+    "per-frame RoIAlign along the tube, preserving the T axis"). One Pallas
+    launch over all (roi, frame) pairs; the frame index is the slab index.
+    """
+    features = jnp.asarray(features)
+    t = features.shape[0]
+    r = tube_rois.shape[0]
+    per_frame = jnp.asarray(tube_rois, jnp.float32).reshape(r, t, 4)
+    flat_rois = per_frame.reshape(r * t, 4)
+    slabs = jnp.tile(jnp.arange(t, dtype=jnp.int32), (r,))
+    if _use_pallas(use_pallas):
+        out = _roi_align_pallas(features, flat_rois * spatial_scale, slabs,
+                                output_size, sampling_ratio, patch_size)
+    else:
+        out = jax.vmap(
+            lambda roi, fi: roi_align_reference(
+                features[fi], roi[None], output_size, sampling_ratio,
+                spatial_scale)[0]
+        )(flat_rois, slabs)
+    p = output_size
+    return out.reshape(r, t, p, p, features.shape[-1])
+
+
+def roi_align_multilevel(
+    features: Sequence[jnp.ndarray],      # per level (H_l, W_l, C)
+    strides: Sequence[int],
+    rois: jnp.ndarray,                    # (R, 4) image coords
+    levels: jnp.ndarray,                  # (R,) int32 index into `features`
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """FPN RoIAlign: each RoI pools from its assigned pyramid level.
+
+    Parity: RoIFeatureTransform + CollectAndDistributeFpnRpnProposals
+    (SURVEY.md §2.1). Runs one RoIAlign per level over all R rois and
+    selects per-roi — levels are few and maps shrink 4× per level, so the
+    overhead is bounded and the shapes stay static.
+    """
+    def _round8(x):
+        return -(-x // 8) * 8
+
+    outs = []
+    for i, (feat, stride) in enumerate(zip(features, strides)):
+        if i == len(features) - 1:
+            # Coarsest level absorbs all clamped oversized RoIs; use a patch
+            # covering the whole map (+_ALIGN x-origin slack) so the span
+            # contract always holds.
+            patch = _round8(max(feat.shape[0], feat.shape[1])) + _ALIGN
+        else:
+            patch = _PATCH
+        outs.append(
+            roi_align(feat, rois, output_size, sampling_ratio,
+                      1.0 / stride, use_pallas, patch))
+    stacked = jnp.stack(outs)                           # (L, R, P, P, C)
+    return jnp.take_along_axis(
+        stacked, levels[None, :, None, None, None], axis=0)[0]
+
+
+def assign_fpn_levels(
+    rois: jnp.ndarray,
+    min_level: int,
+    max_level: int,
+    canonical_scale: int = 224,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """Map RoIs to FPN levels (Parity: FPN.map_rois_to_fpn_levels).
+
+    k = floor(k0 + log2(sqrt(area) / s0)), clamped to [min, max]; returned
+    as an index relative to min_level.
+    """
+    w = rois[..., 2] - rois[..., 0] + 1.0
+    h = rois[..., 3] - rois[..., 1] + 1.0
+    scale = jnp.sqrt(jnp.maximum(w * h, 1e-6))
+    lvl = jnp.floor(canonical_level +
+                    jnp.log2(scale / canonical_scale + 1e-8))
+    lvl = jnp.clip(lvl, min_level, max_level)
+    return (lvl - min_level).astype(jnp.int32)
