@@ -393,3 +393,57 @@ def assign_fpn_levels(
                     jnp.log2(scale / canonical_scale + 1e-8))
     lvl = jnp.clip(lvl, min_level, max_level)
     return (lvl - min_level).astype(jnp.int32)
+
+
+def roi_align_batched(
+    features: jnp.ndarray,        # (S, H, W, C) slabs (batch and/or frames)
+    rois: jnp.ndarray,            # (R, 4) image coords
+    slabs: jnp.ndarray,           # (R,) int32 slab per roi
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    spatial_scale: float = 1.0,
+    use_pallas: Optional[bool] = None,
+    patch_size: int = _PATCH,
+) -> jnp.ndarray:
+    """RoIAlign across a stack of feature slabs → (R, P, P, C).
+
+    One Pallas launch covers every (roi, slab) pair — this is how the
+    detector pools all proposals of a whole batch/clip at once.
+    """
+    features = jnp.asarray(features)
+    scaled = jnp.asarray(rois, jnp.float32) * spatial_scale
+    if _use_pallas(use_pallas):
+        return _roi_align_pallas(features, scaled, slabs, output_size,
+                                 sampling_ratio, patch_size)
+    return jax.vmap(
+        lambda roi, si: roi_align_reference(
+            features[si], roi[None], output_size, sampling_ratio, 1.0)[0]
+    )(scaled, jnp.asarray(slabs, jnp.int32))
+
+
+def roi_align_multilevel_batched(
+    features: Sequence[jnp.ndarray],   # per level (S, H_l, W_l, C)
+    strides: Sequence[int],
+    rois: jnp.ndarray,                 # (R, 4) image coords
+    levels: jnp.ndarray,               # (R,) int32
+    slabs: jnp.ndarray,                # (R,) int32
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Batched FPN RoIAlign: level-assigned pooling over slab stacks."""
+    def _round8(x):
+        return -(-x // 8) * 8
+
+    outs = []
+    for i, (feat, stride) in enumerate(zip(features, strides)):
+        if i == len(features) - 1:
+            patch = _round8(max(feat.shape[1], feat.shape[2])) + _ALIGN
+        else:
+            patch = _PATCH
+        outs.append(
+            roi_align_batched(feat, rois, slabs, output_size, sampling_ratio,
+                              1.0 / stride, use_pallas, patch))
+    stacked = jnp.stack(outs)                          # (L, R, P, P, C)
+    return jnp.take_along_axis(
+        stacked, levels[None, :, None, None, None], axis=0)[0]

@@ -1,0 +1,218 @@
+"""ResNet backbones — 2D and inflated-3D — as flax.linen modules.
+
+Reference parity: `lib/modeling/ResNet.py` (SURVEY.md §2.1): ResNet-18/50/101
+bodies with frozen BatchNorm folded into per-channel affine ("AffineChannel"),
+Caffe-style stride-on-1x1 bottlenecks, stage freezing, and DetectAndTrack's
+3D inflation (2D k×k kernels become t×k×k; see `inflate.py` for the weight
+transform; paper arXiv:1712.09184 §3.1).
+
+TPU-first design decisions:
+- One code path for 2D and 3D: activations are (B, T, H, W, C) channels-last
+  and every conv is `lax.conv_general_dilated` with a (t, kh, kw) window.
+  t == 1 reproduces per-frame 2D exactly and XLA folds the unit depth away,
+  so the 2D model family is the T=1 / t=1 special case, not separate code.
+- Frozen BN is a per-channel scale+bias (an elementwise epilogue XLA fuses
+  into the conv); there is no batch-stat path at all, matching the
+  reference's AffineChannel semantics.
+- Compute dtype is configurable (bfloat16 on the MXU by default); params
+  stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Per-depth stage block counts (res2..res5).
+STAGE_BLOCKS = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+}
+BASIC_ARCHS = ("resnet18",)
+
+
+class AffineChannel(nn.Module):
+    """Frozen BatchNorm as per-channel scale + bias (reference AffineChannel,
+    incl. the Nd variant — shape-agnostic here since C is the last axis)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return (x * scale.astype(self.dtype) + bias.astype(self.dtype))
+
+
+class Conv3d(nn.Module):
+    """(B, T, H, W, C) conv with window (t, kh, kw); t=1 == per-frame 2D."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (1, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        t, kh, kw = self.kernel
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (t, kh, kw, x.shape[-1], self.features),
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=self.strides,
+            padding=[((k - 1) // 2, k // 2) for k in self.kernel],
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class ConvAffine(nn.Module):
+    """conv → frozen-BN affine (reference detector.ConvAffine helper)."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (1, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv3d(self.features, self.kernel, self.strides,
+                   dtype=self.dtype, name="conv")(x)
+        return AffineChannel(self.features, dtype=self.dtype, name="bn")(x)
+
+
+class Bottleneck(nn.Module):
+    """1x1 → txkxk → 1x1 bottleneck; stride on the 1x1 (Caffe/Detectron
+    convention, RESNETS.STRIDE_1X1) or on the 3x3."""
+
+    features: int                       # inner width
+    out_features: int
+    spatial_stride: int = 1
+    time_kernel: int = 1
+    stride_1x1: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = (1, self.spatial_stride, self.spatial_stride)
+        s1, s2 = (s, (1, 1, 1)) if self.stride_1x1 else ((1, 1, 1), s)
+        # Temporal kernel lives on the spatial (middle) conv, mirroring the
+        # paper's center-conv inflation.
+        tk = self.time_kernel
+        shortcut = x
+        if (x.shape[-1] != self.out_features) or self.spatial_stride != 1:
+            shortcut = ConvAffine(self.out_features, (1, 1, 1), s,
+                                  dtype=self.dtype, name="proj")(x)
+        y = ConvAffine(self.features, (1, 1, 1), s1,
+                       dtype=self.dtype, name="a")(x)
+        y = nn.relu(y)
+        y = ConvAffine(self.features, (tk, 3, 3), s2,
+                       dtype=self.dtype, name="b")(y)
+        y = nn.relu(y)
+        y = ConvAffine(self.out_features, (1, 1, 1), (1, 1, 1),
+                       dtype=self.dtype, name="c")(y)
+        return nn.relu(y + shortcut)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs (ResNet-18/34 transform)."""
+
+    features: int
+    out_features: int
+    spatial_stride: int = 1
+    time_kernel: int = 1
+    stride_1x1: bool = True             # unused; kept for a uniform signature
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = (1, self.spatial_stride, self.spatial_stride)
+        tk = self.time_kernel
+        shortcut = x
+        if (x.shape[-1] != self.out_features) or self.spatial_stride != 1:
+            shortcut = ConvAffine(self.out_features, (1, 1, 1), s,
+                                  dtype=self.dtype, name="proj")(x)
+        y = ConvAffine(self.out_features, (tk, 3, 3), s,
+                       dtype=self.dtype, name="a")(x)
+        y = nn.relu(y)
+        y = ConvAffine(self.out_features, (tk, 3, 3), (1, 1, 1),
+                       dtype=self.dtype, name="b")(y)
+        return nn.relu(y + shortcut)
+
+
+class ResNet(nn.Module):
+    """ResNet body returning {res2..res5} feature maps, (B, T, H/s, W/s, C).
+
+    `time_kernels` gives the temporal kernel size for (conv1, res2..res5);
+    all 1s → the 2D model. Matches the reference's per-stage
+    VIDEO.TIME_KERNEL_DIM switches.
+    """
+
+    depth: str = "resnet50"
+    time_kernels: Tuple[int, ...] = (1, 1, 1, 1, 1)
+    num_groups: int = 1                 # ResNeXt support (1 = plain)
+    width_per_group: int = 64
+    stride_1x1: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        blocks = STAGE_BLOCKS[self.depth]
+        basic = self.depth in BASIC_ARCHS
+        block_cls = BasicBlock if basic else Bottleneck
+        expansion = 1 if basic else 4
+
+        tk1 = self.time_kernels[0]
+        y = ConvAffine(64, (tk1, 7, 7), (1, 2, 2),
+                       dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(y)
+        y = nn.max_pool(y, (1, 3, 3), strides=(1, 2, 2),
+                        padding=((0, 0), (1, 1), (1, 1)))
+
+        feats = {}
+        width = self.width_per_group * self.num_groups
+        for stage, n_blocks in enumerate(blocks):            # res2..res5
+            inner = width * (2 ** stage)
+            out = inner * expansion
+            tk = self.time_kernels[stage + 1]
+            stride = 1 if stage == 0 else 2
+            for b in range(n_blocks):
+                y = block_cls(
+                    features=inner,
+                    out_features=out,
+                    spatial_stride=stride if b == 0 else 1,
+                    time_kernel=tk,
+                    stride_1x1=self.stride_1x1,
+                    dtype=self.dtype,
+                    name=f"res{stage + 2}_{b}",
+                )(y)
+            feats[f"res{stage + 2}"] = y
+        return feats
+
+
+def backbone_from_cfg(cfg) -> ResNet:
+    """Build the ResNet from a Config (MODEL.CONV_BODY + VIDEO.*)."""
+    tks = cfg.VIDEO.TIME_KERNEL_DIM if cfg.VIDEO.VIDEO_ON else (1, 1, 1, 1, 1)
+    dtype = jnp.bfloat16 if cfg.MODEL.COMPUTE_DTYPE == "bfloat16" else (
+        jnp.float32)
+    return ResNet(
+        depth=cfg.MODEL.CONV_BODY,
+        time_kernels=tuple(tks),
+        num_groups=cfg.RESNETS.NUM_GROUPS,
+        width_per_group=cfg.RESNETS.WIDTH_PER_GROUP,
+        stride_1x1=cfg.RESNETS.STRIDE_1X1,
+        dtype=dtype,
+    )

@@ -1,0 +1,294 @@
+"""GeneralizedRCNN — the whole (3D) Mask R-CNN as one jitted XLA graph.
+
+Reference parity: `lib/modeling/model_builder.py` + `lib/modeling/detector.py`
+(SURVEY.md §2.1) and the inference flow of `lib/core/test.py` (§3.2). The
+reference crosses the host/device boundary twice per clip (bbox pass →
+host NMS → keypoint pass → host decode); here backbone → FPN → RPN →
+proposal decode+NMS → RoIAlign → box head → final NMS → keypoint head →
+heatmap decode is ONE XLA program with static shapes throughout
+(`BASELINE.json.north_star`).
+
+Outputs are padded to static budgets with validity masks:
+  boxes (B, D, 4·T) · scores (B, D) · valid (B, D) · keypoints (B, D, T, K, 4)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core.config import Config
+from ..kernels.roi_align import (
+    assign_fpn_levels,
+    roi_align_multilevel_batched,
+)
+from ..ops import boxes as box_ops
+from ..ops.anchors import fpn_anchor_fields, generate_anchors, \
+    shifted_anchor_field
+from ..ops.keypoints import heatmaps_to_keypoints
+from ..ops.nms import nms_fixed
+from .backbone import backbone_from_cfg
+from .fpn import FPN
+from .heads import BoxHead2MLP, KeypointHead, MaskHead
+from .rpn import RPNHead, collect_fpn_proposals, flatten_rpn_outputs, \
+    generate_proposals_fixed
+
+
+def _compute_dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.MODEL.COMPUTE_DTYPE == "bfloat16" else (
+        jnp.float32)
+
+
+class GeneralizedRCNN(nn.Module):
+    """cfg-driven detection model; __call__ returns raw head outputs plus
+    decoded, NMS'd detections (everything in-graph)."""
+
+    cfg: Config
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = _compute_dtype(cfg)
+        t = cfg.VIDEO.NUM_FRAMES if cfg.VIDEO.VIDEO_ON else 1
+        self.num_frames = t
+        self.backbone = backbone_from_cfg(cfg)
+        if cfg.FPN.FPN_ON:
+            self.fpn = FPN(dim=cfg.FPN.DIM, dtype=dtype)
+        self.rpn_head = RPNHead(
+            dim=cfg.FPN.DIM if cfg.FPN.FPN_ON else 512,
+            num_anchors=len(cfg.RPN.ASPECT_RATIOS) if cfg.FPN.FPN_ON else
+            len(cfg.RPN.ASPECT_RATIOS) * len(cfg.RPN.SIZES),
+            num_frames=t,
+            dtype=dtype,
+        )
+        self.box_head = BoxHead2MLP(
+            num_classes=cfg.MODEL.NUM_CLASSES,
+            num_frames=t,
+            hidden_dim=cfg.FAST_RCNN.MLP_HEAD_DIM,
+            dtype=dtype,
+        )
+        if cfg.MODEL.KEYPOINTS_ON:
+            self.kps_head = KeypointHead(
+                num_keypoints=cfg.KRCNN.NUM_KEYPOINTS,
+                num_convs=cfg.KRCNN.NUM_STACKED_CONVS,
+                conv_dim=cfg.KRCNN.CONV_HEAD_DIM,
+                up_scale=cfg.KRCNN.UP_SCALE,
+                dtype=dtype,
+            )
+        if cfg.MODEL.MASK_ON:
+            self.mask_head = MaskHead(num_classes=cfg.MODEL.NUM_CLASSES,
+                                      dtype=dtype)
+
+    # ------------------------------------------------------------------
+    # Feature extraction
+    # ------------------------------------------------------------------
+
+    def features(self, clips: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """clips (B, T, H, W, 3) → pyramid {p2..p6} or {res5}."""
+        feats = self.backbone(clips)
+        if self.cfg.FPN.FPN_ON:
+            return self.fpn(feats)
+        return {"res5": feats["res5"]}
+
+    def _pyramid_list(self, pyramid):
+        cfg = self.cfg
+        if cfg.FPN.FPN_ON:
+            lvls = range(cfg.FPN.RPN_MIN_LEVEL, cfg.FPN.RPN_MAX_LEVEL + 1)
+            return [pyramid[f"p{l}"] for l in lvls], [2 ** l for l in lvls]
+        return [pyramid["res5"]], [cfg.RPN.STRIDE]
+
+    # ------------------------------------------------------------------
+    # RPN + proposals (in-graph)
+    # ------------------------------------------------------------------
+
+    def propose(self, pyramid, image_hw, train: bool = False):
+        """→ (tubes (B, K, 4T), scores (B, K), valid (B, K)) plus raw RPN
+        outputs per level (for the RPN loss)."""
+        cfg = self.cfg
+        t = self.num_frames
+        maps, strides = self._pyramid_list(pyramid)
+        pre = (cfg.RPN.PRE_NMS_TOP_N_TRAIN if train else
+               cfg.RPN.PRE_NMS_TOP_N_TEST)
+        post = (cfg.RPN.POST_NMS_TOP_N_TRAIN if train else
+                cfg.RPN.POST_NMS_TOP_N_TEST)
+
+        raw = []
+        per_level = []
+        for li, (fmap, stride) in enumerate(zip(maps, strides)):
+            logits, deltas = self.rpn_head(fmap)
+            raw.append((logits, deltas))
+            scores, deltas = flatten_rpn_outputs(logits, deltas, t)
+            if cfg.FPN.FPN_ON:
+                cell = generate_anchors(stride, [cfg.RPN.SIZES[li]],
+                                        cfg.RPN.ASPECT_RATIOS)
+            else:
+                cell = generate_anchors(stride, cfg.RPN.SIZES,
+                                        cfg.RPN.ASPECT_RATIOS)
+            field = jnp.asarray(shifted_anchor_field(
+                cell, stride, fmap.shape[2], fmap.shape[3]))
+
+            def one_image(s, d):
+                return generate_proposals_fixed(
+                    s, d, field, image_hw, t, pre, post,
+                    cfg.RPN.NMS_THRESH, cfg.RPN.MIN_SIZE)
+
+            per_level.append(jax.vmap(one_image)(scores, deltas))
+
+        def collect(bi):
+            return collect_fpn_proposals(
+                [(tb[bi], sc[bi], va[bi]) for tb, sc, va in per_level],
+                max_out=post)
+
+        b = maps[0].shape[0]
+        tubes, scores, valid = jax.vmap(collect)(jnp.arange(b))
+        return (tubes, scores, valid), raw
+
+    # ------------------------------------------------------------------
+    # RoI feature transform (Pallas RoIAlign over the whole batch)
+    # ------------------------------------------------------------------
+
+    def roi_transform(self, pyramid, tubes, resolution: int,
+                      sampling_ratio: int):
+        """tubes (B, K, 4T) → pooled (B·K, T, P, P, C).
+
+        Level assignment uses the center-frame box; each frame of a tube
+        pools from its own (slab = b·T + frame) feature slice.
+        """
+        cfg = self.cfg
+        t = self.num_frames
+        b, k = tubes.shape[0], tubes.shape[1]
+        if cfg.FPN.FPN_ON:
+            lvls = list(range(cfg.FPN.ROI_MIN_LEVEL,
+                              cfg.FPN.ROI_MAX_LEVEL + 1))
+            maps = [pyramid[f"p{l}"] for l in lvls]
+            strides = [2 ** l for l in lvls]
+        else:
+            maps, strides = [pyramid["res5"]], [cfg.RPN.STRIDE]
+
+        # (B, K, T, 4) per-frame boxes → flat (B·K·T, 4)
+        per_frame = tubes.reshape(b, k, t, 4)
+        flat_rois = per_frame.reshape(b * k * t, 4)
+        center = per_frame[:, :, t // 2, :].reshape(b * k, 4)
+        levels = assign_fpn_levels(
+            center, cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
+            cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL
+        ) if cfg.FPN.FPN_ON else jnp.zeros((b * k,), jnp.int32)
+        levels = jnp.repeat(levels, t)
+        slabs = (jnp.repeat(jnp.arange(b * k) // k, t) * t
+                 + jnp.tile(jnp.arange(t), (b * k,)))
+
+        # Flatten (B, T) into slabs for each level map.
+        flat_maps = [m.reshape((-1,) + m.shape[2:]) for m in maps]
+        pooled = roi_align_multilevel_batched(
+            flat_maps, strides, flat_rois, levels, slabs,
+            resolution, sampling_ratio)
+        c = pooled.shape[-1]
+        return pooled.reshape(b * k, t, resolution, resolution, c)
+
+    # ------------------------------------------------------------------
+    # Full inference graph
+    # ------------------------------------------------------------------
+
+    def __call__(self, clips: jnp.ndarray,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        """clips (B, T, H, W, 3) → detections dict (all static shapes)."""
+        cfg = self.cfg
+        t = self.num_frames
+        b = clips.shape[0]
+        image_hw = (float(clips.shape[2]), float(clips.shape[3]))
+
+        pyramid = self.features(clips)
+        (tubes, p_scores, p_valid), rpn_raw = self.propose(
+            pyramid, image_hw, train=train)
+        k = tubes.shape[1]
+
+        # --- box head ---
+        pooled = self.roi_transform(
+            pyramid, tubes, cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
+            cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO)
+        cls_logits, deltas = self.box_head(pooled)      # (B·K, C), (B·K, C·4T)
+        probs = jax.nn.softmax(cls_logits, axis=-1)
+
+        # Person class (index 1) refinement, per frame, with BBOX_REG_WEIGHTS.
+        n_cls = cfg.MODEL.NUM_CLASSES
+        deltas = deltas.reshape(b * k, n_cls, t, 4)
+        person_deltas = deltas[:, 1].reshape(b * k, 4 * t)
+        flat_tubes = tubes.reshape(b * k, 4 * t)
+        w = cfg.FAST_RCNN.BBOX_REG_WEIGHTS
+        refined = box_ops.bbox_transform(
+            flat_tubes.reshape(-1, 4),
+            person_deltas.reshape(-1, 4), w).reshape(b * k, 4 * t)
+        refined = box_ops.clip_boxes(refined, image_hw[0], image_hw[1])
+        scores = probs[:, 1].reshape(b, k)
+        refined = refined.reshape(b, k, 4 * t)
+
+        # --- final NMS to DETECTIONS_PER_IM ---
+        d_max = cfg.TEST.DETECTIONS_PER_IM
+
+        def final_nms(boxes_i, scores_i, valid_i):
+            center = boxes_i.reshape(k, t, 4)[:, t // 2]
+            ok = valid_i & (scores_i >= cfg.TEST.SCORE_THRESH)
+            idx, mask = nms_fixed(center, scores_i, cfg.TEST.NMS, d_max, ok)
+            return boxes_i[idx], scores_i[idx], mask
+
+        det_boxes, det_scores, det_valid = jax.vmap(final_nms)(
+            refined, scores, p_valid)                   # (B, D, 4T) ...
+
+        out = {
+            "boxes": det_boxes,
+            "scores": jnp.where(det_valid, det_scores, 0.0),
+            "valid": det_valid,
+            "proposals": tubes,
+            "proposal_scores": p_scores,
+            "proposal_valid": p_valid,
+            "cls_logits": cls_logits,
+            "box_deltas": deltas,
+            "rpn_raw": rpn_raw,
+        }
+
+        # --- keypoint head on final detections ---
+        if cfg.MODEL.KEYPOINTS_ON:
+            kp_pooled = self.roi_transform(
+                pyramid, det_boxes, cfg.KRCNN.ROI_XFORM_RESOLUTION,
+                cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO)
+            heatmaps = self.kps_head(kp_pooled)         # (B·D, T, S, S, K)
+            s_hm = heatmaps.shape[2]
+            n_kp = cfg.KRCNN.NUM_KEYPOINTS
+            hm_flat = heatmaps.reshape(b * d_max * t, s_hm, s_hm, n_kp)
+            rois_flat = det_boxes.reshape(b * d_max * t, 4)
+            kps = heatmaps_to_keypoints(
+                hm_flat.transpose(0, 3, 1, 2), rois_flat)
+            out["keypoints"] = kps.reshape(b, d_max, t, n_kp, 4)
+            out["heatmaps"] = heatmaps.reshape(b, d_max, t, s_hm, s_hm, n_kp)
+
+        if cfg.MODEL.MASK_ON:
+            mask_pooled = self.roi_transform(
+                pyramid, det_boxes, cfg.MRCNN.ROI_XFORM_RESOLUTION,
+                cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO)
+            m = self.mask_head(mask_pooled)              # (B·D, T, S, S, C)
+            out["masks"] = m.reshape((b, d_max) + m.shape[1:])
+
+        return out
+
+
+def build_model(cfg: Config) -> GeneralizedRCNN:
+    """Parity: model_builder.create(cfg.MODEL.TYPE)."""
+    if cfg.MODEL.TYPE != "generalized_rcnn":
+        raise ValueError(f"Unknown MODEL.TYPE {cfg.MODEL.TYPE!r}")
+    return GeneralizedRCNN(cfg)
+
+
+def init_model(cfg: Config, rng: jax.Array,
+               sample_shape: Optional[Tuple[int, ...]] = None):
+    """Initialize parameters with a minimal dummy clip (fast on CPU)."""
+    model = build_model(cfg)
+    if sample_shape is None:
+        t = cfg.VIDEO.NUM_FRAMES if cfg.VIDEO.VIDEO_ON else 1
+        s = cfg.FPN.COARSEST_STRIDE * 2
+        sample_shape = (1, t, s, s, 3)
+    clip = jnp.zeros(sample_shape, jnp.float32)
+    params = model.init(rng, clip)
+    return model, params

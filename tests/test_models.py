@@ -1,0 +1,153 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detectandtrack_tpu.core.config import load_cfg
+from detectandtrack_tpu.models.backbone import ConvAffine, ResNet
+from detectandtrack_tpu.models.detector import build_model
+from detectandtrack_tpu.models.fpn import FPN, upsample_nearest_2x
+from detectandtrack_tpu.models.inflate import inflate_params
+
+
+def test_backbone_shapes_2d():
+    m = ResNet(depth="resnet18")
+    x = jnp.zeros((1, 1, 64, 96, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(params, x)
+    assert feats["res2"].shape == (1, 1, 16, 24, 64)
+    assert feats["res3"].shape == (1, 1, 8, 12, 128)
+    assert feats["res4"].shape == (1, 1, 4, 6, 256)
+    assert feats["res5"].shape == (1, 1, 2, 3, 512)
+
+
+def test_backbone_bottleneck_channels():
+    m = ResNet(depth="resnet50")
+    x = jnp.zeros((1, 1, 64, 64, 3))
+    shapes = jax.eval_shape(
+        lambda: m.init(jax.random.PRNGKey(0), x))
+    # res5 bottleneck output: 512 * 4
+    feats = jax.eval_shape(
+        lambda p: m.apply(p, x), shapes)
+    assert feats["res5"].shape == (1, 1, 2, 2, 2048)
+
+
+def test_t1_conv_is_per_frame():
+    """A t=1 network on a T=3 clip == the same net run per frame."""
+    m = ResNet(depth="resnet18")
+    rng = np.random.default_rng(0)
+    clip = jnp.asarray(rng.normal(size=(1, 3, 32, 32, 3)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(1), clip[:, :1])
+    whole = m.apply(params, clip)["res3"]
+    per_frame = [m.apply(params, clip[:, i:i + 1])["res3"]
+                 for i in range(3)]
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(whole[:, i]),
+                                   np.asarray(per_frame[i][:, 0]),
+                                   atol=1e-5)
+
+
+def test_inflation_identity_on_constant_clip():
+    """Mean-inflated t=3 conv reproduces the 2D output on a time-constant
+    clip (paper §3.1 property), away from the temporal padding boundary."""
+    m2 = ConvAffine(16, kernel=(1, 3, 3))
+    m3 = ConvAffine(16, kernel=(3, 3, 3))
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.normal(size=(1, 1, 16, 16, 8)), jnp.float32)
+    clip = jnp.tile(frame, (1, 5, 1, 1, 1))
+    p2 = m2.init(jax.random.PRNGKey(0), frame)
+    p3_tmpl = m3.init(jax.random.PRNGKey(1), clip)
+    p3 = inflate_params(p2, p3_tmpl, mode="mean")
+    out2 = m2.apply(p2, frame)
+    out3 = m3.apply(p3, clip)
+    # Center frames see a full temporal window → exact match.
+    for t in (1, 2, 3):
+        np.testing.assert_allclose(np.asarray(out3[:, t]),
+                                   np.asarray(out2[:, 0]), atol=1e-5)
+    # Boundary frames see zero padding → reduced magnitude, not equal.
+    assert not np.allclose(np.asarray(out3[:, 0]), np.asarray(out2[:, 0]),
+                           atol=1e-3)
+
+
+def test_inflation_center_mode():
+    m2 = ConvAffine(4, kernel=(1, 3, 3))
+    m3 = ConvAffine(4, kernel=(3, 3, 3))
+    frame = jnp.ones((1, 1, 8, 8, 2))
+    clip = jnp.tile(frame, (1, 3, 1, 1, 1))
+    p2 = m2.init(jax.random.PRNGKey(0), frame)
+    p3 = inflate_params(p2, m3.init(jax.random.PRNGKey(1), clip),
+                        mode="center")
+    k3 = p3["params"]["conv"]["kernel"]
+    assert np.abs(np.asarray(k3[0])).sum() == 0
+    assert np.abs(np.asarray(k3[2])).sum() == 0
+    np.testing.assert_allclose(np.asarray(k3[1]),
+                               np.asarray(p2["params"]["conv"]["kernel"][0]))
+
+
+def test_inflation_rejects_mismatched_tree():
+    m2 = ConvAffine(4, kernel=(1, 3, 3))
+    m3 = ConvAffine(8, kernel=(3, 3, 3))
+    frame = jnp.ones((1, 1, 8, 8, 2))
+    clip = jnp.tile(frame, (1, 3, 1, 1, 1))
+    p2 = m2.init(jax.random.PRNGKey(0), frame)
+    p3 = m3.init(jax.random.PRNGKey(1), clip)
+    with pytest.raises(ValueError, match="Cannot inflate"):
+        inflate_params(p2, p3)
+
+
+def test_upsample_nearest():
+    x = jnp.arange(4.0).reshape(1, 1, 2, 2, 1)
+    y = np.asarray(upsample_nearest_2x(x))[0, 0, :, :, 0]
+    np.testing.assert_allclose(
+        y, [[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]])
+
+
+def test_fpn_shapes():
+    m = FPN(dim=32)
+    feats = {f"res{i + 2}": jnp.zeros((1, 1, 32 // 2 ** i, 32 // 2 ** i,
+                                       16 * 2 ** i))
+             for i in range(4)}
+    params = m.init(jax.random.PRNGKey(0), feats)
+    out = m.apply(params, feats)
+    assert out["p2"].shape == (1, 1, 32, 32, 32)
+    assert out["p5"].shape == (1, 1, 4, 4, 32)
+    assert out["p6"].shape == (1, 1, 2, 2, 32)
+
+
+TINY_OPTS = [
+    "MODEL.CONV_BODY", "resnet18",
+    "MODEL.COMPUTE_DTYPE", "float32",
+    "RPN.PRE_NMS_TOP_N_TEST", 50,
+    "RPN.POST_NMS_TOP_N_TEST", 20,
+    "TEST.DETECTIONS_PER_IM", 5,
+    "TEST.SCORE_THRESH", -1.0,
+]
+
+
+@pytest.mark.slow
+def test_detector_2d_end_to_end():
+    cfg = load_cfg(opts=TINY_OPTS)
+    model = build_model(cfg)
+    clip = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 1, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+    out = model.apply(params, clip)
+    assert out["boxes"].shape == (1, 5, 4)
+    assert out["keypoints"].shape == (1, 5, 1, 15, 4)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+@pytest.mark.slow
+def test_detector_3d_tubes_end_to_end():
+    cfg = load_cfg(opts=TINY_OPTS + [
+        "VIDEO.VIDEO_ON", True,
+        "VIDEO.NUM_FRAMES", 3,
+    ])
+    model = build_model(cfg)
+    clip = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 3, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+    out = model.apply(params, clip)
+    assert out["boxes"].shape == (1, 5, 12)          # 4·T
+    assert out["proposals"].shape == (1, 20, 12)
+    assert out["keypoints"].shape == (1, 5, 3, 15, 4)
