@@ -1,0 +1,85 @@
+"""Benchmark harness: clips/sec/chip on PoseTrack-style inference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+The reference never published throughput (BASELINE.md), so `vs_baseline`
+is computed against an ESTIMATED Caffe2-GPU figure of 0.5 clips/sec/GPU for
+the 3D R-50 T=8 pipeline (two device round-trips + host NMS per clip on a
+2017 GPU; see BASELINE.md row "Reference inference throughput"). The
+north-star target is >= 10x that estimate.
+
+Env knobs: BENCH_BATCH (default 2), BENCH_BUCKET ("448x768"),
+BENCH_ITERS (default 20), BENCH_BODY (resnet50), BENCH_T (8).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CAFFE2_GPU_CLIPS_PER_SEC_ESTIMATE = 0.5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from detectandtrack_tpu.core.config import load_cfg
+    from detectandtrack_tpu.models.detector import build_model
+
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    body = os.environ.get("BENCH_BODY", "resnet50")
+    t = int(os.environ.get("BENCH_T", "8"))
+    bucket = os.environ.get("BENCH_BUCKET", "448x768")
+    bh, bw = (int(x) for x in bucket.split("x"))
+
+    cfg = load_cfg(opts=[
+        "MODEL.CONV_BODY", body,
+        "VIDEO.VIDEO_ON", t > 1,
+        "VIDEO.NUM_FRAMES", t,
+        "VIDEO.TIME_KERNEL_DIM", "[3, 3, 3, 3, 1]",
+        "TEST.SHAPE_BUCKETS", f"[[{bh}, {bw}]]",
+        "TEST.SCORE_THRESH", 0.0,
+    ])
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(0)
+    clips = jnp.asarray(
+        rng.normal(size=(batch, t, bh, bw, 3)).astype(np.float32))
+
+    params = model.init(jax.random.PRNGKey(0), clips[:1])
+
+    @jax.jit
+    def detect(p, c):
+        out = model.apply(p, c)
+        return out["boxes"], out["scores"], out["valid"], out.get(
+            "keypoints")
+
+    # Warm-up (compile; ~minutes cold over the remote-compile tunnel).
+    jax.block_until_ready(detect(params, clips))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = detect(params, clips)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch * iters / dt
+    result = {
+        "metric": f"PoseTrack inference clips/sec/chip "
+                  f"({body} T={t} {bh}x{bw} b{batch})",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(
+            clips_per_sec / CAFFE2_GPU_CLIPS_PER_SEC_ESTIMATE, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

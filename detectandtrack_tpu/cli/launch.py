@@ -1,0 +1,249 @@
+"""CLI launcher: `python -m detectandtrack_tpu.cli.launch --cfg ... --mode ...`.
+
+Reference parity: `launch.py` + `tools/train_net.py` + `tools/test_net.py`
+(SURVEY.md §2.1, §3): one entry point that merges the YAML config and dotted
+overrides, then dispatches to train / test (dataset inference) / track
+(stage-2 linking + eval) / bench.
+
+Usage:
+  launch --cfg configs/video/foo.yaml --mode train [KEY VALUE]...
+  launch --cfg ... --mode test --weights ckpt.npz
+  launch --cfg ... --mode track --detections dets.npz
+  launch --mode demo-data --out data/synthetic   (generate synthetic data)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="DetectAndTrack-TPU launcher")
+    p.add_argument("--cfg", default=None, help="experiment YAML")
+    p.add_argument("--mode", required=True,
+                   choices=["train", "test", "track", "bench", "demo-data"])
+    p.add_argument("--weights", default=None,
+                   help="npz weights (overrides cfg TRAIN/TEST.WEIGHTS)")
+    p.add_argument("--detections", default=None,
+                   help="detections pickle for --mode track")
+    p.add_argument("--out", default=None, help="output dir override")
+    p.add_argument("--max-clips", type=int, default=None,
+                   help="limit inference clips (debug)")
+    p.add_argument("opts", nargs="*",
+                   help="dotted config overrides: KEY VALUE ...")
+    return p.parse_args(argv)
+
+
+def _load_cfg(args):
+    from ..core.config import load_cfg
+    cfg = load_cfg(args.cfg, args.opts)
+    if args.out:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, OUTPUT_DIR=args.out)
+    return cfg
+
+
+def _dataset(cfg, names):
+    from ..data.posetrack import get_dataset
+    if not names:
+        raise SystemExit("No dataset configured (TRAIN/TEST.DATASETS)")
+    return get_dataset(names[0], cfg.DATA.ROOT)
+
+
+def _init_model(cfg, weights: Optional[str], seed: int = 0):
+    import jax
+    from ..models.detector import build_model
+    from ..utils.checkpoint import load_weights_npz
+
+    model = build_model(cfg)
+    t = cfg.VIDEO.NUM_FRAMES if cfg.VIDEO.VIDEO_ON else 1
+    bh, bw = cfg.TEST.SHAPE_BUCKETS[0]
+    import jax.numpy as jnp
+    clip = jnp.zeros((1, t, bh, bw, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed), clip)
+    if weights:
+        params = load_weights_npz(weights, params)
+    return model, params
+
+
+def mode_train(args, cfg):
+    import jax
+    from ..data.pipeline import ClipBatcher, DeviceLoader
+    from ..engine.train import (TrainState, create_train_state,
+                                make_train_step)
+    from ..parallel.mesh import batch_sharded, make_mesh, replicate, \
+        shard_batch
+    from ..utils.checkpoint import (latest_checkpoint_step,
+                                    restore_checkpoint, save_checkpoint,
+                                    save_weights_npz)
+    from ..utils.lr_policy import get_lr_at_iter
+    from ..utils.logging_utils import setup_logging
+    from ..utils.training_stats import TrainingStats
+
+    logger = setup_logging()
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    ds = _dataset(cfg, cfg.TRAIN.DATASETS)
+    model, params = _init_model(cfg, args.weights or cfg.TRAIN.WEIGHTS
+                                or None, cfg.RNG_SEED)
+
+    mesh = make_mesh()
+    state = create_train_state(cfg, params)
+    ckpt_dir = os.path.join(cfg.OUTPUT_DIR, "checkpoints")
+    start_step = 0
+    if cfg.TRAIN.AUTO_RESUME:
+        restored, step = restore_checkpoint(ckpt_dir, state)
+        if restored is not None:
+            state, start_step = restored, int(step)
+            logger.info("auto-resumed from step %d", start_step)
+    state = replicate(mesh, state)
+
+    step_fn = make_train_step(model, cfg, mesh)
+    stats = TrainingStats(
+        cfg.SOLVER.MAX_ITER,
+        jsonl_path=os.path.join(cfg.OUTPUT_DIR, "training_stats.jsonl"))
+    batcher = ClipBatcher(ds, cfg, train=True, seed=cfg.RNG_SEED)
+    bsh = batch_sharded(mesh)
+
+    it = start_step
+    while it < cfg.SOLVER.MAX_ITER:
+        loader = DeviceLoader(
+            batcher.epoch(cfg.TRAIN.IMS_PER_BATCH * mesh.devices.size),
+            prefetch=cfg.DATA.PREFETCH, sharding=bsh)
+        for batch in loader:
+            stats.iter_tic()
+            state, metrics = step_fn(state, batch)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            stats.iter_toc()
+            lr = get_lr_at_iter(
+                it, base_lr=cfg.SOLVER.BASE_LR, policy=cfg.SOLVER.LR_POLICY,
+                gamma=cfg.SOLVER.GAMMA, steps=cfg.SOLVER.STEPS,
+                warm_up_iters=cfg.SOLVER.WARM_UP_ITERS,
+                warm_up_factor=cfg.SOLVER.WARM_UP_FACTOR,
+                warm_up_method=cfg.SOLVER.WARM_UP_METHOD)
+            stats.update_iter_stats(metrics, it, lr)
+            it += 1
+            if it % cfg.TRAIN.CHECKPOINT_PERIOD == 0 or (
+                    it >= cfg.SOLVER.MAX_ITER):
+                host_state = jax.tree.map(np.asarray, state)
+                save_checkpoint(ckpt_dir, host_state, it)
+            if it >= cfg.SOLVER.MAX_ITER:
+                break
+    host_params = jax.tree.map(np.asarray, state.params)
+    final = os.path.join(cfg.OUTPUT_DIR, "model_final.npz")
+    save_weights_npz(final, host_params)
+    logger.info("saved final weights to %s", final)
+    stats.close()
+    return final
+
+
+def mode_test(args, cfg):
+    from ..engine.inference import run_inference
+    from ..utils.logging_utils import setup_logging
+
+    logger = setup_logging()
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    ds = _dataset(cfg, cfg.TEST.DATASETS or cfg.TRAIN.DATASETS)
+    model, params = _init_model(cfg, args.weights or cfg.TEST.WEIGHTS
+                                or None, cfg.RNG_SEED)
+    t0 = time.time()
+    dets = run_inference(cfg, model, params, ds, max_clips=args.max_clips)
+    dt = time.time() - t0
+    n_frames = sum(len(v) for v in dets.values())
+    logger.info("inference over %d frames in %.1fs (%.2f fps)",
+                n_frames, dt, n_frames / max(dt, 1e-9))
+    out = os.path.join(cfg.OUTPUT_DIR, "detections.pkl")
+    with open(out, "wb") as f:
+        pickle.dump(dets, f)
+    logger.info("wrote %s", out)
+    return out
+
+
+def mode_track(args, cfg):
+    from ..tracking.engine import (evaluate_tracking, run_posetrack_tracking,
+                                   write_posetrack_results)
+    from ..tracking.evaluation import PoseAnnotation
+    from ..utils.logging_utils import setup_logging
+
+    logger = setup_logging()
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    det_path = args.detections or os.path.join(cfg.OUTPUT_DIR,
+                                               "detections.pkl")
+    with open(det_path, "rb") as f:
+        dets = pickle.load(f)
+    tracked = run_posetrack_tracking(dets, cfg=cfg)
+    out_dir = os.path.join(cfg.OUTPUT_DIR, "tracks")
+    paths = write_posetrack_results(tracked, out_dir)
+    logger.info("wrote %d track files to %s", len(paths), out_dir)
+
+    # Evaluate when GT is available.
+    try:
+        ds = _dataset(cfg, cfg.TEST.DATASETS or cfg.TRAIN.DATASETS)
+    except (SystemExit, FileNotFoundError, KeyError):
+        ds = None
+    if ds is not None:
+        gt = {}
+        for vid in ds.videos():
+            frames = []
+            for fr in ds.video_frames(vid):
+                frames.append([
+                    PoseAnnotation(
+                        keypoints=p["keypoints"], box=p["box"],
+                        head_box=p["head_box"], track_id=p["track_id"])
+                    for p in ds.gt_poses(fr)])
+            gt[vid] = frames
+        metrics = evaluate_tracking(tracked, gt,
+                                    cfg.KRCNN.NUM_KEYPOINTS)
+        summary = {k: v for k, v in metrics.items()
+                   if not isinstance(v, list)}
+        logger.info("tracking metrics: %s", json.dumps(summary, indent=2))
+        with open(os.path.join(cfg.OUTPUT_DIR, "track_metrics.json"),
+                  "w") as f:
+            json.dump(metrics, f, indent=2)
+    return out_dir
+
+
+def mode_demo_data(args, cfg):
+    from ..data.synthetic import generate_synthetic_posetrack
+    out = args.out or os.path.join(cfg.DATA.ROOT, "synthetic")
+    json_path = generate_synthetic_posetrack(
+        out, num_videos=4, frames_per_video=16, people_per_video=2)
+    print(f"synthetic dataset written: {json_path}")
+    return json_path
+
+
+def mode_bench(args, cfg):
+    import subprocess
+    r = subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(os.path.dirname(
+                            os.path.dirname(os.path.abspath(__file__)))),
+                            "bench.py")])
+    return r.returncode
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..core.config import Config
+    cfg = _load_cfg(args) if args.cfg else __import__(
+        "detectandtrack_tpu.core.config", fromlist=["Config"]).Config()
+    if args.mode == "train":
+        return mode_train(args, cfg)
+    if args.mode == "test":
+        return mode_test(args, cfg)
+    if args.mode == "track":
+        return mode_track(args, cfg)
+    if args.mode == "demo-data":
+        return mode_demo_data(args, cfg)
+    if args.mode == "bench":
+        return mode_bench(args, cfg)
+
+
+if __name__ == "__main__":
+    main()

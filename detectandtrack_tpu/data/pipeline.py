@@ -1,0 +1,238 @@
+"""Host input pipeline: clip loading → fixed-shape padded batches → device.
+
+Reference parity: `lib/roi_data/loader.py` (RoIDataLoader threads →
+BlobsQueue), `lib/roi_data/minibatch.py` (cv2 read, scale to SCALES/MAX_SIZE,
+mean-subtract, NCHW/NCTHW stacking) and `lib/utils/blob.py`
+(SURVEY.md §2.1, §3.5). TPU-native changes:
+
+- Fixed shapes: every clip is resized-with-aspect then padded into a shape
+  bucket (multiples of FPN.COARSEST_STRIDE) — the recompile-avoidance
+  contract from BASELINE.json.north_star.
+- Layout is (T, H, W, 3) channels-last (TPU lane dim), not NCHW.
+- GT is padded to MAX_GT tubes with validity masks.
+- The BlobsQueue equivalent is `DeviceLoader`: worker threads build batches,
+  a prefetcher `jax.device_put`s ahead of consumption (double buffering).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .posetrack import FrameRecord, PosetrackDataset
+
+
+@dataclass
+class ClipSpec:
+    video_id: str
+    start: int
+    flipped: bool = False
+
+
+def choose_scale(h: int, w: int, target: int, max_size: int) -> float:
+    """Reference `prep_im_for_blob` scale rule: short side → target, capped
+    so the long side stays <= max_size."""
+    short, long = min(h, w), max(h, w)
+    scale = target / max(short, 1)
+    if round(scale * long) > max_size:
+        scale = max_size / max(long, 1)
+    return scale
+
+
+def pick_bucket(h: int, w: int,
+                buckets: Sequence[Tuple[int, int]]) -> Tuple[int, int]:
+    """Smallest bucket that fits (h, w); largest bucket if none fit."""
+    best = None
+    for bh, bw in sorted(buckets, key=lambda b: b[0] * b[1]):
+        if bh >= h and bw >= w:
+            best = (bh, bw)
+            break
+    return best if best is not None else tuple(
+        max(buckets, key=lambda b: b[0] * b[1]))
+
+
+def load_clip(
+    ds: PosetrackDataset,
+    spec: ClipSpec,
+    num_frames: int,
+    frame_stride: int,
+    pixel_means: Sequence[float],
+    pixel_stds: Sequence[float],
+    scale_target: int,
+    max_size: int,
+    bucket_hw: Optional[Tuple[int, int]] = None,
+    buckets: Sequence[Tuple[int, int]] = ((256, 320),),
+    max_gt: int = 16,
+    num_keypoints: int = 15,
+) -> Dict[str, np.ndarray]:
+    """One training/eval example: padded clip + padded GT tubes."""
+    import cv2
+
+    records = ds.clip_records(spec.video_id, spec.start, num_frames,
+                              frame_stride)
+    imgs = []
+    for fr in records:
+        img = cv2.imread(ds.image_path(fr))
+        if img is None:
+            raise FileNotFoundError(ds.image_path(fr))
+        imgs.append(img)
+    h0, w0 = imgs[0].shape[:2]
+    scale = choose_scale(h0, w0, scale_target, max_size)
+    sh, sw = int(round(h0 * scale)), int(round(w0 * scale))
+    if bucket_hw is None:
+        bucket_hw = pick_bucket(sh, sw, buckets)
+    bh, bw = bucket_hw
+
+    clip = np.zeros((num_frames, bh, bw, 3), np.float32)
+    means = np.asarray(pixel_means, np.float32)
+    stds = np.asarray(pixel_stds, np.float32)
+    for t, img in enumerate(imgs):
+        r = cv2.resize(img, (sw, sh), interpolation=cv2.INTER_LINEAR)
+        if spec.flipped:
+            r = r[:, ::-1]
+        clip[t, :min(sh, bh), :min(sw, bw)] = (
+            (r.astype(np.float32) - means) / stds)[:bh, :bw]
+
+    # --- GT tubes: group per-frame annotations by track id ---
+    t_dim = num_frames
+    gt_boxes = np.zeros((max_gt, 4 * t_dim), np.float32)
+    gt_kps = np.zeros((max_gt, t_dim, num_keypoints, 3), np.float32)
+    gt_valid = np.zeros((max_gt,), bool)
+
+    track_rows: Dict[int, int] = {}
+    present: Dict[int, np.ndarray] = {}
+    for t, fr in enumerate(records):
+        for pose in ds.gt_poses(fr):
+            tid = pose["track_id"]
+            if tid not in track_rows:
+                if len(track_rows) >= max_gt:
+                    continue
+                track_rows[tid] = len(track_rows)
+                present[tid] = np.zeros(t_dim, bool)
+            row = track_rows[tid]
+            box = pose["box"] * scale
+            kps = pose["keypoints"].copy()
+            kps[:, :2] *= scale
+            if spec.flipped:
+                box = np.array([sw - 1 - box[2], box[1],
+                                sw - 1 - box[0], box[3]], np.float32)
+                from ..ops.keypoints import flip_keypoints
+                kps = flip_keypoints(kps[None], sw)[0]
+            gt_boxes[row, 4 * t:4 * t + 4] = box
+            gt_kps[row, t] = kps
+            present[tid][t] = True
+
+    for tid, row in track_rows.items():
+        # A tube is valid if the person appears in every frame (tube GT);
+        # fill gaps by nearest-frame propagation otherwise.
+        if present[tid].all():
+            gt_valid[row] = True
+        elif present[tid].any():
+            idx = np.flatnonzero(present[tid])
+            for t in range(t_dim):
+                if not present[tid][t]:
+                    src = idx[np.argmin(np.abs(idx - t))]
+                    gt_boxes[row, 4 * t:4 * t + 4] = (
+                        gt_boxes[row, 4 * src:4 * src + 4])
+                    gt_kps[row, t] = gt_kps[row, src]
+                    gt_kps[row, t, :, 2] = 0          # invisible fill
+            gt_valid[row] = True
+
+    return {
+        "clips": clip,
+        "gt_boxes": gt_boxes,
+        "gt_keypoints": gt_kps,
+        "gt_valid": gt_valid,
+        "scale": np.float32(scale),
+        "image_hw": np.asarray([h0, w0], np.int32),
+    }
+
+
+class ClipBatcher:
+    """Shuffled epoch iterator over clip windows → stacked batches.
+
+    Parity: RoIDataLoader's permutation + minibatch assembly; flipped
+    copies double the epoch when `use_flipped`.
+    """
+
+    def __init__(self, ds: PosetrackDataset, cfg, train: bool = True,
+                 seed: int = 0):
+        self.ds = ds
+        self.cfg = cfg
+        self.train = train
+        t = cfg.VIDEO.NUM_FRAMES if cfg.VIDEO.VIDEO_ON else 1
+        self.num_frames = t
+        self.stride = cfg.VIDEO.FRAME_STRIDE if cfg.VIDEO.VIDEO_ON else 1
+        self.windows = ds.clip_windows(t, self.stride, dense=train)
+        self.rng = np.random.default_rng(seed)
+        self.use_flipped = train and cfg.TRAIN.USE_FLIPPED
+
+    def specs(self) -> List[ClipSpec]:
+        out = [ClipSpec(v, s) for v, s in self.windows]
+        if self.use_flipped:
+            out += [ClipSpec(v, s, flipped=True) for v, s in self.windows]
+        return out
+
+    def epoch(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
+        specs = self.specs()
+        if self.train:
+            self.rng.shuffle(specs)
+        cfg = self.cfg
+        target = cfg.TRAIN.SCALES[0] if self.train else cfg.TEST.SCALE
+        max_size = cfg.TRAIN.MAX_SIZE if self.train else cfg.TEST.MAX_SIZE
+        bucket = tuple(cfg.TEST.SHAPE_BUCKETS[0])
+        for i in range(0, len(specs) - batch_size + 1, batch_size):
+            items = [load_clip(
+                self.ds, s, self.num_frames, self.stride,
+                cfg.DATA.PIXEL_MEANS, cfg.DATA.PIXEL_STDS,
+                target, max_size, bucket_hw=bucket,
+                max_gt=cfg.TRAIN.MAX_GT_PER_IM,
+                num_keypoints=cfg.KRCNN.NUM_KEYPOINTS)
+                for s in specs[i:i + batch_size]]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class DeviceLoader:
+    """Threaded prefetch + device_put (the BlobsQueue replacement).
+
+    Wraps any host batch iterator; keeps `prefetch` batches in flight on
+    device so the accelerator never waits on the host.
+    """
+
+    def __init__(self, host_iter: Iterator, prefetch: int = 2,
+                 sharding=None):
+        import jax
+        self._jax = jax
+        self.host_iter = host_iter
+        self.prefetch = prefetch
+        self.sharding = sharding
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._done = object()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for batch in self.host_iter:
+                if self.sharding is not None:
+                    batch = self._jax.tree.map(
+                        lambda x: self._jax.device_put(x, self.sharding),
+                        batch)
+                else:
+                    batch = self._jax.tree.map(self._jax.device_put, batch)
+                self._q.put(batch)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item

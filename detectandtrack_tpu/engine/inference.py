@@ -1,0 +1,171 @@
+"""Inference engine: jitted clip detection + dataset-scale orchestration.
+
+Reference parity: `lib/core/test.py` (`im_detect_all`: bbox pass → NMS →
+keypoint pass → decode) and `lib/core/test_engine.py` (`run_inference`:
+iterate the dataset, accumulate, hand to evaluation/tracking)
+(SURVEY.md §3.2). The reference crosses host↔device twice per clip with host
+NMS in between; here `detect_clip` is ONE jitted XLA call returning padded
+(boxes, scores, keypoints, valid), and the runner overlaps host work with
+device compute via jax's async dispatch (dispatch batch i+1 before reading
+batch i).
+
+The reference's multi-GPU sharding (one subprocess per GPU over roidb
+ranges) maps to sharding the clip list across jax processes/devices — on a
+single chip the runner is sequential with double-buffered input.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..data.pipeline import ClipSpec, load_clip
+from ..data.posetrack import PosetrackDataset
+from ..models.detector import GeneralizedRCNN
+
+
+def make_detect_fn(model: GeneralizedRCNN):
+    """Jitted `detect(params, clips) → {boxes, scores, valid, keypoints}`."""
+
+    @jax.jit
+    def detect(params, clips):
+        out = model.apply(params, clips)
+        keep = {"boxes": out["boxes"], "scores": out["scores"],
+                "valid": out["valid"]}
+        if "keypoints" in out:
+            keep["keypoints"] = out["keypoints"]
+        return keep
+
+    return detect
+
+
+def detections_to_frames(
+    det: Dict[str, np.ndarray],
+    num_frames: int,
+    scale: float,
+    clip_index_in_batch: int = 0,
+) -> List[Dict[str, np.ndarray]]:
+    """One clip's padded device outputs → per-frame host detection dicts in
+    ORIGINAL image coordinates (parity: the rescale in im_detect_bbox)."""
+    i = clip_index_in_batch
+    boxes = np.asarray(det["boxes"][i], np.float64)          # (D, 4T)
+    scores = np.asarray(det["scores"][i], np.float64)
+    valid = np.asarray(det["valid"][i], bool)
+    kps = (np.asarray(det["keypoints"][i], np.float64)
+           if "keypoints" in det else None)                  # (D, T, K, 4)
+    d = boxes.shape[0]
+    per_frame = boxes.reshape(d, num_frames, 4) / scale
+    frames = []
+    for t in range(num_frames):
+        fr = {
+            "boxes": per_frame[:, t],
+            "scores": scores,
+            "valid": valid,
+        }
+        if kps is not None:
+            k = kps[:, t].copy()
+            k[..., :2] /= scale
+            # [x, y, logit, prob] → keep [x, y, prob] as keypoint triple
+            fr["keypoints"] = np.stack(
+                [k[..., 0], k[..., 1], k[..., 3]], axis=-1)
+        frames.append(fr)
+    return frames
+
+
+def run_inference(
+    cfg: Config,
+    model: GeneralizedRCNN,
+    params,
+    dataset: PosetrackDataset,
+    batch_size: int = 1,
+    max_clips: Optional[int] = None,
+) -> Dict[str, List[Dict[str, np.ndarray]]]:
+    """Detect over the whole dataset → per-video per-frame detections.
+
+    Clips tile each video (non-overlapping windows) so every frame is
+    covered exactly once; the tail of a video shorter than T is covered by
+    a final window aligned to the video end.
+    """
+    t = cfg.VIDEO.NUM_FRAMES if cfg.VIDEO.VIDEO_ON else 1
+    stride = cfg.VIDEO.FRAME_STRIDE if cfg.VIDEO.VIDEO_ON else 1
+    detect = make_detect_fn(model)
+    bucket = tuple(cfg.TEST.SHAPE_BUCKETS[0])
+
+    # Build the tiling window list (with end-aligned tails).
+    work: List[Tuple[str, int]] = []
+    span = (t - 1) * stride + 1
+    for vid in dataset.videos():
+        n = len(dataset.video_frames(vid))
+        if n < span:
+            continue
+        starts = list(range(0, n - span + 1, span))
+        if starts[-1] + span < n:
+            starts.append(n - span)
+        for s in starts:
+            work.append((vid, s))
+    if max_clips is not None:
+        work = work[:max_clips]
+
+    results: Dict[str, Dict[int, Dict[str, np.ndarray]]] = {}
+
+    pending = []          # (device outputs, metas) awaiting host readback
+
+    def flush():
+        for det, metas in pending:
+            det = jax.tree.map(np.asarray, det)
+            for bi, (vid, start, scale) in enumerate(metas):
+                frames = detections_to_frames(det, t, scale, bi)
+                slot = results.setdefault(vid, {})
+                for fi, fr in enumerate(frames):
+                    slot[start + fi * stride] = fr
+        pending.clear()
+
+    batch_items: List[Tuple[str, int, Dict[str, np.ndarray]]] = []
+
+    def submit():
+        nonlocal batch_items
+        if not batch_items:
+            return
+        # Pad the final partial batch by repeating the last clip.
+        items = list(batch_items)
+        while len(items) < batch_size:
+            items.append(items[-1])
+        clips = jnp.asarray(np.stack([it[2]["clips"] for it in items]))
+        det = detect(params, clips)
+        metas = [(vid, start, float(it["scale"]))
+                 for (vid, start, it) in batch_items]
+        pending.append((det, metas))
+        if len(pending) >= 2:          # double-buffer: read the older one
+            for entry in pending[:-1]:
+                det_old, metas_old = entry
+                det_old = jax.tree.map(np.asarray, det_old)
+                for bi, (v, s, sc) in enumerate(metas_old):
+                    frames = detections_to_frames(det_old, t, sc, bi)
+                    slot = results.setdefault(v, {})
+                    for fi, fr in enumerate(frames):
+                        slot[s + fi * stride] = fr
+            del pending[:-1]
+        batch_items = []
+
+    for vid, start in work:
+        item = load_clip(
+            dataset, ClipSpec(vid, start), t, stride,
+            cfg.DATA.PIXEL_MEANS, cfg.DATA.PIXEL_STDS,
+            cfg.TEST.SCALE, cfg.TEST.MAX_SIZE, bucket_hw=bucket,
+            max_gt=1, num_keypoints=cfg.KRCNN.NUM_KEYPOINTS)
+        batch_items.append((vid, start, item))
+        if len(batch_items) == batch_size:
+            submit()
+    submit()
+    flush()
+
+    # Dict-of-frame-index → ordered list.
+    out: Dict[str, List[Dict[str, np.ndarray]]] = {}
+    for vid, frames in results.items():
+        out[vid] = [frames[k] for k in sorted(frames)]
+    return out

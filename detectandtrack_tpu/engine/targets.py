@@ -1,0 +1,204 @@
+"""Training target assignment — fully in-XLA, fixed sample counts.
+
+Reference parity: `lib/roi_data/rpn.py` (anchor↔GT matching, ±sampling,
+regression targets), `lib/ops/generate_proposal_labels.py` +
+`lib/roi_data/fast_rcnn.py` (FG/BG RoI sampling, bbox targets) and
+`lib/roi_data/keypoint_rcnn.py` (keypoint GT → discretized heatmap labels)
+(SURVEY.md §2.1). The reference computes these in Python/Cython mid-graph
+(host sync every iteration, SURVEY §3.1); here they are jnp with static
+shapes so the whole train step stays one XLA program.
+
+Sampling: the reference random-samples FG/BG; here selection is by
+`jax.random.permutation` under an explicit key (deterministic given the key)
+with fixed counts — padding rows carry zero loss weight.
+
+GT comes in padded: boxes (G, 4·T), keypoints (G, T, K, 3), valid (G,).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import boxes as box_ops
+
+
+class AnchorTargets(NamedTuple):
+    labels: jnp.ndarray        # (N,) 1 fg / 0 bg / -1 ignore
+    bbox_targets: jnp.ndarray  # (N, 4·T)
+    weights: jnp.ndarray       # (N,) loss weight (1 for sampled, else 0)
+
+
+def _random_subsample(key, mask: jnp.ndarray, num: int) -> jnp.ndarray:
+    """Keep at most `num` True entries of `mask`, chosen uniformly."""
+    n = mask.shape[0]
+    scores = jax.random.uniform(key, (n,)) + (~mask) * 10.0
+    rank = jnp.argsort(jnp.argsort(scores))        # rank among all
+    return mask & (rank < num)
+
+
+def rpn_targets(
+    key: jax.Array,
+    anchors: jnp.ndarray,          # (N, 4) spatial anchors
+    gt_tubes: jnp.ndarray,         # (G, 4·T) padded
+    gt_valid: jnp.ndarray,         # (G,)
+    num_frames: int,
+    image_hw: Tuple[float, float],
+    positive_overlap: float = 0.7,
+    negative_overlap: float = 0.3,
+    batch_size: int = 256,
+    fg_fraction: float = 0.5,
+    straddle_thresh: float = 0.0,
+) -> AnchorTargets:
+    """Anchor labels + per-frame tube regression targets for one image."""
+    n = anchors.shape[0]
+    g = gt_tubes.shape[0]
+    t = num_frames
+    center_gt = gt_tubes.reshape(g, t, 4)[:, t // 2]
+
+    iou = box_ops.bbox_overlaps(anchors, center_gt)          # (N, G)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)                        # (N,)
+    best_iou = jnp.max(iou, axis=1)
+
+    # fg: IoU >= thresh, or argmax anchor for some GT (ties included).
+    per_gt_best = jnp.max(iou, axis=0)                       # (G,)
+    is_best_for_gt = jnp.any(
+        (iou >= per_gt_best[None, :] - 1e-5) & (iou > 0)
+        & gt_valid[None, :], axis=1)
+    any_gt = jnp.any(gt_valid)
+    fg = (best_iou >= positive_overlap) | is_best_for_gt
+    bg = (best_iou < negative_overlap) & ~fg
+    fg = fg & any_gt
+    bg = bg | ~any_gt
+
+    # Anchors straddling the image boundary are ignored (STRADDLE_THRESH).
+    h, w = image_hw
+    inside = ((anchors[:, 0] >= -straddle_thresh)
+              & (anchors[:, 1] >= -straddle_thresh)
+              & (anchors[:, 2] < w + straddle_thresh)
+              & (anchors[:, 3] < h + straddle_thresh))
+    fg = fg & inside
+    bg = bg & inside
+
+    k1, k2 = jax.random.split(key)
+    num_fg = int(batch_size * fg_fraction)
+    fg_keep = _random_subsample(k1, fg, num_fg)
+    num_bg = batch_size - num_fg
+    bg_keep = _random_subsample(k2, bg, num_bg)
+
+    labels = jnp.where(fg_keep, 1, jnp.where(bg_keep, 0, -1))
+
+    # Per-frame regression targets against the matched GT tube.
+    matched = gt_tubes[best_gt].reshape(n, t, 4)
+    anchor_rep = jnp.broadcast_to(anchors[:, None, :], (n, t, 4))
+    tgt = box_ops.bbox_transform_inv(anchor_rep, matched).reshape(n, 4 * t)
+
+    return AnchorTargets(labels=labels, bbox_targets=tgt,
+                         weights=(labels >= 0).astype(jnp.float32))
+
+
+class ProposalTargets(NamedTuple):
+    rois: jnp.ndarray            # (S, 4·T) sampled proposals (incl. GT)
+    labels: jnp.ndarray          # (S,) class id (0 = bg)
+    bbox_targets: jnp.ndarray    # (S, 4·T)
+    bbox_weights: jnp.ndarray    # (S,) 1 for fg
+    keypoint_targets: jnp.ndarray  # (S, T, K, 3) matched GT keypoints
+    is_fg: jnp.ndarray           # (S,) bool
+    valid: jnp.ndarray           # (S,) sampled-row validity
+
+
+def proposal_targets(
+    key: jax.Array,
+    proposals: jnp.ndarray,        # (P, 4·T) padded tubes
+    prop_valid: jnp.ndarray,       # (P,)
+    gt_tubes: jnp.ndarray,         # (G, 4·T)
+    gt_keypoints: jnp.ndarray,     # (G, T, K, 3)
+    gt_valid: jnp.ndarray,         # (G,)
+    num_frames: int,
+    batch_size: int = 512,
+    fg_fraction: float = 0.25,
+    fg_thresh: float = 0.5,
+    bg_thresh_hi: float = 0.5,
+    bg_thresh_lo: float = 0.0,
+    reg_weights=(10.0, 10.0, 5.0, 5.0),
+) -> ProposalTargets:
+    """Sample RoIs and build box/keypoint targets for one image.
+
+    GT tubes are appended to the proposal pool (the lineage trick that
+    guarantees clean positives early in training).
+    """
+    t = num_frames
+    pool = jnp.concatenate([proposals, gt_tubes], axis=0)
+    pool_valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
+    p = pool.shape[0]
+    g = gt_tubes.shape[0]
+
+    center = pool.reshape(p, t, 4)[:, t // 2]
+    center_gt = gt_tubes.reshape(g, t, 4)[:, t // 2]
+    iou = box_ops.bbox_overlaps(center, center_gt)
+    iou = jnp.where(gt_valid[None, :] & pool_valid[:, None], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+
+    fg = best_iou >= fg_thresh
+    bg = (best_iou < bg_thresh_hi) & (best_iou >= bg_thresh_lo) & pool_valid
+
+    k1, k2 = jax.random.split(key)
+    num_fg = int(batch_size * fg_fraction)
+    fg_keep = _random_subsample(k1, fg, num_fg)
+    bg_keep = _random_subsample(k2, bg, batch_size - num_fg)
+    selected = fg_keep | bg_keep
+
+    # Order selected rows first (fg then bg), pad to batch_size.
+    order_score = jnp.where(fg_keep, 0, jnp.where(bg_keep, 1, 2))
+    order = jnp.argsort(order_score, stable=True)[:batch_size]
+    sel_valid = (order_score[order] < 2)
+
+    rois = pool[order]
+    labels = jnp.where(fg_keep[order], 1, 0)
+    m = best_gt[order]
+    matched = gt_tubes[m].reshape(batch_size, t, 4)
+    roi_frames = rois.reshape(batch_size, t, 4)
+    tgt = box_ops.bbox_transform_inv(
+        roi_frames, matched, reg_weights).reshape(batch_size, 4 * t)
+    kp_tgt = gt_keypoints[m]
+
+    is_fg = fg_keep[order] & sel_valid
+    return ProposalTargets(
+        rois=rois,
+        labels=jnp.where(sel_valid, labels, 0),
+        bbox_targets=tgt,
+        bbox_weights=is_fg.astype(jnp.float32),
+        keypoint_targets=kp_tgt,
+        is_fg=is_fg,
+        valid=sel_valid,
+    )
+
+
+def keypoint_heatmap_targets(
+    rois: jnp.ndarray,           # (S, 4) per-frame boxes
+    keypoints: jnp.ndarray,      # (S, K, 3) matched GT [x, y, vis]
+    heatmap_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Discretize keypoints into heatmap bin indices (softmax-CE labels).
+
+    Returns (bin_index (S, K) int32, weight (S, K) f32). A keypoint is valid
+    if visible (v > 0) and inside its RoI — matching the lineage's
+    `keypoints_to_heatmap_labels` semantics.
+    """
+    hs = heatmap_size
+    x1, y1 = rois[:, 0:1], rois[:, 1:2]
+    w = jnp.maximum(rois[:, 2:3] - rois[:, 0:1], 1.0)
+    h = jnp.maximum(rois[:, 3:4] - rois[:, 1:2], 1.0)
+    fx = (keypoints[..., 0] - x1) / w * hs
+    fy = (keypoints[..., 1] - y1) / h * hs
+    bx = jnp.clip(jnp.floor(fx), 0, hs - 1)
+    by = jnp.clip(jnp.floor(fy), 0, hs - 1)
+    inside = (fx >= 0) & (fx < hs) & (fy >= 0) & (fy < hs)
+    vis = keypoints[..., 2] > 0
+    weight = (inside & vis).astype(jnp.float32)
+    idx = (by * hs + bx).astype(jnp.int32)
+    return idx, weight

@@ -50,20 +50,27 @@ class AffineChannel(nn.Module):
 
 
 class Conv3d(nn.Module):
-    """(B, T, H, W, C) conv with window (t, kh, kw); t=1 == per-frame 2D."""
+    """(B, T, H, W, C) conv with window (t, kh, kw); t=1 == per-frame 2D.
+
+    Default kernel init is MSRA fill (variance_scaling fan_out), matching the
+    lineage's backbone convs; prediction layers pass a gaussian init.
+    """
 
     features: int
     kernel: Tuple[int, int, int] = (1, 3, 3)
     strides: Tuple[int, int, int] = (1, 1, 1)
     use_bias: bool = False
     dtype: Any = jnp.float32
+    kernel_init: Any = None
 
     @nn.compact
     def __call__(self, x):
         t, kh, kw = self.kernel
+        init = self.kernel_init or nn.initializers.variance_scaling(
+            2.0, "fan_out", "normal")
         kernel = self.param(
             "kernel",
-            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            init,
             (t, kh, kw, x.shape[-1], self.features),
         )
         y = jax.lax.conv_general_dilated(

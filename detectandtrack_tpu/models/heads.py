@@ -39,14 +39,18 @@ class BoxHead2MLP(nn.Module):
         # roi_feats: (R, T, P, P, C)
         r = roi_feats.shape[0]
         x = roi_feats.reshape(r, -1).astype(self.dtype)
+        # Lineage inits: fc6/7 Xavier; cls gauss(0.01); bbox gauss(0.001).
+        xavier = nn.initializers.xavier_uniform()
         x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
-                             name="fc6")(x))
+                             kernel_init=xavier, name="fc6")(x))
         x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
-                             name="fc7")(x))
+                             kernel_init=xavier, name="fc7")(x))
         cls_logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                              kernel_init=nn.initializers.normal(0.01),
                               name="cls_score")(x.astype(jnp.float32))
         deltas = nn.Dense(self.num_classes * 4 * self.num_frames,
                           dtype=jnp.float32,
+                          kernel_init=nn.initializers.normal(0.001),
                           name="bbox_pred")(x.astype(jnp.float32))
         return cls_logits, deltas
 
@@ -78,6 +82,7 @@ class KeypointHead(nn.Module):
                              name="kps_deconv")(x)
         x = nn.relu(x)
         logits = nn.Conv(self.num_keypoints, (1, 1), dtype=jnp.float32,
+                         kernel_init=nn.initializers.normal(0.001),
                          name="kps_score")(x.astype(jnp.float32))
         hm = logits.repeat(self.up_scale, axis=1).repeat(self.up_scale,
                                                          axis=2)
@@ -105,6 +110,7 @@ class MaskHead(nn.Module):
                                      dtype=self.dtype,
                                      name="conv5_mask")(x))
         logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                         kernel_init=nn.initializers.normal(0.001),
                          name="mask_fcn_logits")(x.astype(jnp.float32))
         return logits.reshape(r, t, logits.shape[1], logits.shape[2],
                               self.num_classes)
@@ -139,7 +145,10 @@ class Res5BoxHead(nn.Module):
         pooled = jnp.mean(x, axis=(2, 3))                 # (R, T, C)
         r = pooled.shape[0]
         flat = pooled.reshape(r, -1).astype(jnp.float32)
-        cls_logits = nn.Dense(self.num_classes, name="cls_score")(flat)
+        cls_logits = nn.Dense(self.num_classes,
+                              kernel_init=nn.initializers.normal(0.01),
+                              name="cls_score")(flat)
         deltas = nn.Dense(self.num_classes * 4 * self.num_frames,
+                          kernel_init=nn.initializers.normal(0.001),
                           name="bbox_pred")(flat)
         return cls_logits, deltas

@@ -45,12 +45,16 @@ class RPNHead(nn.Module):
         # x: (B, T, H, W, C) → collapse time for the trunk; tubes come from
         # the 4T-delta regressor.
         x = jnp.mean(x, axis=1, keepdims=True)
+        # Lineage inits: trunk gauss(0.01); predictors gauss(0.01).
+        g01 = nn.initializers.normal(0.01)
         h = nn.relu(Conv3d(self.dim, (1, 3, 3), use_bias=True,
-                           dtype=self.dtype, name="conv")(x))
+                           dtype=self.dtype, kernel_init=g01,
+                           name="conv")(x))
         logits = Conv3d(self.num_anchors, (1, 1, 1), use_bias=True,
-                        dtype=self.dtype, name="logits")(h)
+                        dtype=self.dtype, kernel_init=g01, name="logits")(h)
         deltas = Conv3d(self.num_anchors * 4 * self.num_frames, (1, 1, 1),
-                        use_bias=True, dtype=self.dtype, name="deltas")(h)
+                        use_bias=True, dtype=self.dtype, kernel_init=g01,
+                        name="deltas")(h)
         # (B, H, W, A), (B, H, W, A*4T)
         return logits[:, 0], deltas[:, 0]
 
@@ -114,7 +118,12 @@ def generate_proposals_fixed(
         jnp.ones((k_pre,), bool))
     keep_idx, keep_mask = nms_fixed(rep, top_scores, nms_thresh,
                                     post_nms_topk, valid)
-    return (tubes[keep_idx], top_scores[keep_idx], keep_mask)
+    # Proposals are constants downstream (lineage semantics): the box/kps
+    # heads must not backprop into the RPN through proposal coordinates —
+    # and differentiating through NMS/top-k gathers bloats the graph.
+    return (jax.lax.stop_gradient(tubes[keep_idx]),
+            jax.lax.stop_gradient(top_scores[keep_idx]),
+            keep_mask)
 
 
 def collect_fpn_proposals(

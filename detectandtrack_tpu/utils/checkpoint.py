@@ -1,0 +1,108 @@
+"""Checkpoint / resume via orbax (+ .npz weight import/export).
+
+Reference parity: `lib/utils/net.py` (SURVEY.md §3.4/§5): the reference
+pickles `{blob_name: ndarray}` every CHECKPOINT_PERIOD iters
+(`model_iter{N}.pkl`, `model_final.pkl`) and initializes from such files
+with name mapping + 2D→3D inflation. Here:
+
+- full train state (params + opt state + step) goes through
+  orbax-checkpoint with async save and latest-step auto-resume;
+- `save_weights_npz` / `load_weights_npz` provide a flat-name weight
+  exchange format (the `.pkl` analogue) used by the CLI's --weights flag
+  and by cross-model surgery (e.g. inflation: load 2D npz → inflate).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# -- orbax full-state checkpoints -------------------------------------------
+
+def _manager(ckpt_dir: str, max_to_keep: int = 5):
+    import orbax.checkpoint as ocp
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int,
+                    max_to_keep: int = 5) -> None:
+    import orbax.checkpoint as ocp
+    mgr = _manager(ckpt_dir, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+
+
+def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    return mgr.latest_step()
+
+
+def restore_checkpoint(ckpt_dir: str, template, step: Optional[int] = None):
+    """Restore into the structure/shardings of `template` (a matching
+    state pytree). Returns (state, step) or (None, None)."""
+    import orbax.checkpoint as ocp
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        return None, None
+    state = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    return state, step
+
+
+# -- flat npz weights (the .pkl-file analogue) ------------------------------
+
+def flatten_params(params: Any, sep: str = "/") -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree.flatten_with_path(params)[0]:
+        name = sep.join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[name] = np.asarray(leaf)
+    return flat
+
+
+def unflatten_params(template: Any, flat: Dict[str, np.ndarray],
+                     sep: str = "/") -> Any:
+    leaves, treedef = jax.tree.flatten_with_path(template)
+    out = []
+    missing = []
+    for path, leaf in leaves:
+        name = sep.join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if name in flat:
+            v = flat[name]
+            if v.shape != leaf.shape:
+                raise ValueError(
+                    f"shape mismatch for {name}: checkpoint {v.shape} vs "
+                    f"model {leaf.shape}")
+            out.append(jnp.asarray(v, leaf.dtype))
+        else:
+            missing.append(name)
+            out.append(leaf)
+    if missing:
+        import logging
+        logging.getLogger(__name__).warning(
+            "%d params not found in weights file (kept init): %s...",
+            len(missing), missing[:5])
+    return jax.tree.unflatten(jax.tree.structure(template), out)
+
+
+def save_weights_npz(path: str, params: Any) -> None:
+    np.savez(path, **flatten_params(params))
+
+
+def load_weights_npz(path: str, template: Any) -> Any:
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    return unflatten_params(template, flat)

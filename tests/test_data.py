@@ -1,0 +1,109 @@
+import numpy as np
+import pytest
+
+from detectandtrack_tpu.core.config import load_cfg
+from detectandtrack_tpu.data.pipeline import (
+    ClipBatcher,
+    ClipSpec,
+    choose_scale,
+    load_clip,
+    pick_bucket,
+)
+from detectandtrack_tpu.data.posetrack import PosetrackDataset
+from detectandtrack_tpu.data.synthetic import generate_synthetic_posetrack
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    json_path = generate_synthetic_posetrack(
+        str(root), num_videos=2, frames_per_video=6,
+        image_hw=(128, 160), people_per_video=2, seed=0)
+    return PosetrackDataset(json_path, str(root))
+
+
+def test_dataset_indexing(synth):
+    assert synth.videos() == ["video_0000", "video_0001"]
+    frames = synth.video_frames("video_0000")
+    assert len(frames) == 6
+    assert [f.frame_index for f in frames] == list(range(6))
+    assert synth.num_keypoints == 15
+
+
+def test_gt_poses_have_tracks_and_heads(synth):
+    fr = synth.video_frames("video_0000")[0]
+    poses = synth.gt_poses(fr)
+    assert len(poses) == 2
+    assert {p["track_id"] for p in poses} == {0, 1}
+    assert poses[0]["keypoints"].shape == (15, 3)
+    assert poses[0]["head_box"] is not None
+
+
+def test_clip_windows(synth):
+    w3 = synth.clip_windows(3, 1, dense=True)
+    assert len(w3) == 2 * 4                      # (6-3+1)=4 per video
+    tiled = synth.clip_windows(3, 1, dense=False)
+    assert len(tiled) == 2 * 2                   # non-overlapping
+    strided = synth.clip_windows(3, 2, dense=True)
+    assert len(strided) == 2 * 2                 # span 5 → 2 starts
+
+
+def test_choose_scale_and_bucket():
+    assert choose_scale(100, 200, 100, 1000) == 1.0
+    # long side cap
+    s = choose_scale(100, 1000, 600, 1000)
+    assert abs(s - 1.0) < 1e-6
+    assert pick_bucket(100, 200, [(128, 160), (256, 320)]) == (256, 320)
+    assert pick_bucket(90, 150, [(128, 160), (256, 320)]) == (128, 160)
+    # nothing fits → largest
+    assert pick_bucket(999, 999, [(128, 160), (256, 320)]) == (256, 320)
+
+
+def test_load_clip_shapes_and_gt(synth):
+    out = load_clip(
+        synth, ClipSpec("video_0000", 0), num_frames=3, frame_stride=1,
+        pixel_means=(102.98, 115.95, 122.77), pixel_stds=(1, 1, 1),
+        scale_target=128, max_size=200, bucket_hw=(128, 160),
+        max_gt=8, num_keypoints=15)
+    assert out["clips"].shape == (3, 128, 160, 3)
+    assert out["gt_boxes"].shape == (8, 12)
+    assert out["gt_keypoints"].shape == (8, 3, 15, 3)
+    assert out["gt_valid"].sum() == 2            # two people, full tubes
+    # boxes are within the scaled image
+    valid_boxes = out["gt_boxes"][out["gt_valid"]]
+    assert (valid_boxes >= 0).all()
+    assert valid_boxes.max() <= 160
+
+
+def test_load_clip_flip_consistency(synth):
+    kw = dict(num_frames=1, frame_stride=1,
+              pixel_means=(0, 0, 0), pixel_stds=(1, 1, 1),
+              scale_target=128, max_size=200, bucket_hw=(128, 160),
+              max_gt=8, num_keypoints=15)
+    a = load_clip(synth, ClipSpec("video_0000", 0), **kw)
+    b = load_clip(synth, ClipSpec("video_0000", 0, flipped=True), **kw)
+    # flipped clip pixels mirror the original (within the scaled region)
+    sw = int(round(160 * a["scale"] / a["scale"]))  # bucket width region
+    # just check the box x-extent mirrors around the scaled width
+    av = a["gt_boxes"][a["gt_valid"]][:, :4]
+    bv = b["gt_boxes"][b["gt_valid"]][:, :4]
+    scaled_w = round(160 * float(a["scale"]) / float(a["scale"]))
+    # widths preserved under flip
+    np.testing.assert_allclose(av[:, 2] - av[:, 0],
+                               bv[:, 2] - bv[:, 0], atol=1e-3)
+
+
+def test_batcher_epoch(synth):
+    cfg = load_cfg(opts=[
+        "VIDEO.VIDEO_ON", True, "VIDEO.NUM_FRAMES", 3,
+        "TRAIN.SCALES", "[128]", "TRAIN.MAX_SIZE", 200,
+        "TRAIN.MAX_GT_PER_IM", 8,
+        "TEST.SHAPE_BUCKETS", "[[128, 160]]",
+    ])
+    batcher = ClipBatcher(synth, cfg, train=True, seed=0)
+    batches = list(batcher.epoch(batch_size=2))
+    assert len(batches) >= 4                     # 16 specs / 2
+    b = batches[0]
+    assert b["clips"].shape == (2, 3, 128, 160, 3)
+    assert b["gt_boxes"].shape == (2, 8, 12)
+    assert b["gt_valid"].dtype == bool
