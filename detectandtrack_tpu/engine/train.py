@@ -116,7 +116,7 @@ def train_forward(module: GeneralizedRCNN, clips, gt_boxes, gt_keypoints,
     pooled = module.roi_transform(
         pyramid, ptgt.rois, cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
         cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO)        # (B·S, T, P, P, C)
-    cls_logits, deltas = module.box_head(pooled)
+    cls_logits, deltas, _ = module.box_head(pooled)
     n_cls = cfg.MODEL.NUM_CLASSES
     deltas = deltas.reshape(b * s, n_cls, t, 4)
 
@@ -175,12 +175,25 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
             return True
         return jax.tree_util.tree_map_with_path(mask_fn, params)
 
+    def freeze_mask(params):
+        # RESNETS.FREEZE_AT: stages <= N take no updates (lineage freezes
+        # conv1 + res2 by default at N=2).
+        frozen_names = {"conv1"} | {
+            f"res{s}" for s in range(2, cfg.RESNETS.FREEZE_AT + 1)}
+
+        def mask_fn(path, x):
+            names = [str(getattr(p, "key", "")) for p in path]
+            return any(n.split("_")[0] in frozen_names for n in names)
+        return jax.tree_util.tree_map_with_path(mask_fn, params)
+
     txs = []
     if cfg.SOLVER.WEIGHT_DECAY > 0:
         txs.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY,
                                              mask=decay_mask))
     txs.append(optax.sgd(learning_rate=schedule,
                          momentum=cfg.SOLVER.MOMENTUM))
+    if cfg.RESNETS.FREEZE_AT >= 1:
+        txs.append(optax.masked(optax.set_to_zero(), freeze_mask))
     return optax.chain(*txs)
 
 

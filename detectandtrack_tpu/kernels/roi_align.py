@@ -119,7 +119,9 @@ def _interp_matrix(start, bin_size, origin, p, s, patch, size, dtype):
 
 def _roi_align_kernel(
     # scalar-prefetch refs
-    rois_ref,       # (N, 4) f32 — scaled to feature coords
+    rois_ref,       # (N·4,) f32 — scaled to feature coords, flattened so
+                    # SMEM packs densely (a (N, 4) table is row-padded and
+                    # blows the 1MB SMEM budget at N ≈ 5k)
     slab_ref,       # (N,) i32 — source slab (frame) index
     # tensor refs
     feat_ref,       # (S, H, W, C) in ANY/HBM
@@ -144,10 +146,10 @@ def _roi_align_kernel(
         return pl.multiple_of(jnp.maximum(o, 0), _ALIGN)
 
     def roi_params(idx):
-        x1 = rois_ref[idx, 0]
-        y1 = rois_ref[idx, 1]
-        x2 = rois_ref[idx, 2]
-        y2 = rois_ref[idx, 3]
+        x1 = rois_ref[idx * 4 + 0]
+        y1 = rois_ref[idx * 4 + 1]
+        x2 = rois_ref[idx * 4 + 2]
+        y2 = rois_ref[idx * 4 + 3]
         bin_h = jnp.maximum(y2 - y1, 1.0) / p
         bin_w = jnp.maximum(x2 - x1, 1.0) / p
         return x1, y1, bin_w, bin_h
@@ -246,8 +248,8 @@ def _roi_align_pallas(
             vmem_limit_bytes=int(1.2 * (2 * ph * pw * c * 4
                                         + p * p * c * 4) + 2 ** 20),
         ),
-    )(jnp.asarray(rois, jnp.float32), jnp.asarray(slabs, jnp.int32),
-      features)
+    )(jnp.asarray(rois, jnp.float32).reshape(-1),
+      jnp.asarray(slabs, jnp.int32), features)
 
 
 # ---------------------------------------------------------------------------

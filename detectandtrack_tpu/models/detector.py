@@ -209,7 +209,7 @@ class GeneralizedRCNN(nn.Module):
         pooled = self.roi_transform(
             pyramid, tubes, cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
             cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO)
-        cls_logits, deltas = self.box_head(pooled)      # (B·K, C), (B·K, C·4T)
+        cls_logits, deltas, fc7 = self.box_head(pooled)  # (B·K, C), (B·K, C·4T)
         probs = jax.nn.softmax(cls_logits, axis=-1)
 
         # Person class (index 1) refinement, per frame, with BBOX_REG_WEIGHTS.
@@ -225,22 +225,35 @@ class GeneralizedRCNN(nn.Module):
         scores = probs[:, 1].reshape(b, k)
         refined = refined.reshape(b, k, 4 * t)
 
-        # --- final NMS to DETECTIONS_PER_IM ---
+        # --- final NMS to DETECTIONS_PER_IM (greedy or soft) ---
         d_max = cfg.TEST.DETECTIONS_PER_IM
 
         def final_nms(boxes_i, scores_i, valid_i):
             center = boxes_i.reshape(k, t, 4)[:, t // 2]
             ok = valid_i & (scores_i >= cfg.TEST.SCORE_THRESH)
+            if cfg.TEST.SOFT_NMS_ENABLED:
+                from ..ops.nms import soft_nms_fixed
+                idx, mask, new_scores = soft_nms_fixed(
+                    center, scores_i, d_max, cfg.TEST.SOFT_NMS_SIGMA,
+                    cfg.TEST.NMS, cfg.TEST.SCORE_THRESH,
+                    cfg.TEST.SOFT_NMS_METHOD, ok)
+                return boxes_i[idx], new_scores, mask, idx
             idx, mask = nms_fixed(center, scores_i, cfg.TEST.NMS, d_max, ok)
-            return boxes_i[idx], scores_i[idx], mask
+            return boxes_i[idx], scores_i[idx], mask, idx
 
-        det_boxes, det_scores, det_valid = jax.vmap(final_nms)(
+        det_boxes, det_scores, det_valid, det_idx = jax.vmap(final_nms)(
             refined, scores, p_valid)                   # (B, D, 4T) ...
+
+        # Appearance features of final detections (fc7 of their proposal).
+        fc7_b = fc7.reshape(b, k, -1)
+        det_feats = jnp.take_along_axis(
+            fc7_b, det_idx[..., None], axis=1)          # (B, D, 1024)
 
         out = {
             "boxes": det_boxes,
             "scores": jnp.where(det_valid, det_scores, 0.0),
             "valid": det_valid,
+            "features": det_feats,
             "proposals": tubes,
             "proposal_scores": p_scores,
             "proposal_valid": p_valid,
@@ -254,15 +267,31 @@ class GeneralizedRCNN(nn.Module):
             kp_pooled = self.roi_transform(
                 pyramid, det_boxes, cfg.KRCNN.ROI_XFORM_RESOLUTION,
                 cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO)
-            heatmaps = self.kps_head(kp_pooled)         # (B·D, T, S, S, K)
+            t_kp = t
+            det_kp_boxes = det_boxes
+            if cfg.VIDEO.VIDEO_ON and not cfg.VIDEO.PREDICT_ALL_FRAMES:
+                # Center-frame-only supervision/inference (paper ablation):
+                # run the head on the center frame of each tube.
+                kp_pooled = kp_pooled[:, t // 2:t // 2 + 1]
+                det_kp_boxes = det_boxes.reshape(
+                    b, d_max, t, 4)[:, :, t // 2:t // 2 + 1].reshape(
+                    b, d_max, 4)
+                t_kp = 1
+            heatmaps = self.kps_head(kp_pooled)         # (B·D, Tk, S, S, K)
             s_hm = heatmaps.shape[2]
             n_kp = cfg.KRCNN.NUM_KEYPOINTS
-            hm_flat = heatmaps.reshape(b * d_max * t, s_hm, s_hm, n_kp)
-            rois_flat = det_boxes.reshape(b * d_max * t, 4)
+            hm_flat = heatmaps.reshape(b * d_max * t_kp, s_hm, s_hm, n_kp)
+            rois_flat = det_kp_boxes.reshape(b * d_max * t_kp, 4)
             kps = heatmaps_to_keypoints(
                 hm_flat.transpose(0, 3, 1, 2), rois_flat)
-            out["keypoints"] = kps.reshape(b, d_max, t, n_kp, 4)
-            out["heatmaps"] = heatmaps.reshape(b, d_max, t, s_hm, s_hm, n_kp)
+            kps = kps.reshape(b, d_max, t_kp, n_kp, 4)
+            if t_kp != t:
+                # Broadcast the center-frame pose to all frames so the
+                # output contract stays (B, D, T, K, 4).
+                kps = jnp.broadcast_to(kps, (b, d_max, t, n_kp, 4))
+            out["keypoints"] = kps
+            out["heatmaps"] = heatmaps.reshape(b, d_max, t_kp, s_hm, s_hm,
+                                               n_kp)
 
         if cfg.MODEL.MASK_ON:
             mask_pooled = self.roi_transform(

@@ -52,7 +52,9 @@ class BoxHead2MLP(nn.Module):
                           dtype=jnp.float32,
                           kernel_init=nn.initializers.normal(0.001),
                           name="bbox_pred")(x.astype(jnp.float32))
-        return cls_logits, deltas
+        # fc7 activations double as the tracker's cnn-cosine appearance
+        # feature (SURVEY §3.3 cost options).
+        return cls_logits, deltas, x.astype(jnp.float32)
 
 
 class KeypointHead(nn.Module):
@@ -151,4 +153,4 @@ class Res5BoxHead(nn.Module):
         deltas = nn.Dense(self.num_classes * 4 * self.num_frames,
                           kernel_init=nn.initializers.normal(0.001),
                           name="bbox_pred")(flat)
-        return cls_logits, deltas
+        return cls_logits, deltas, flat
