@@ -146,6 +146,8 @@ def proposal_targets(
     fg = best_iou >= fg_thresh
     bg = (best_iou < bg_thresh_hi) & (best_iou >= bg_thresh_lo) & pool_valid
 
+    # The sample count can never exceed the pool (tiny configs/tests).
+    batch_size = min(batch_size, p)
     k1, k2 = jax.random.split(key)
     num_fg = int(batch_size * fg_fraction)
     fg_keep = _random_subsample(k1, fg, num_fg)

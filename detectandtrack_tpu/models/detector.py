@@ -24,7 +24,7 @@ from flax import linen as nn
 from ..core.config import Config
 from ..kernels.roi_align import (
     assign_fpn_levels,
-    roi_align_multilevel_batched,
+    roi_align_multilevel_dense,
 )
 from ..ops import boxes as box_ops
 from ..ops.anchors import fpn_anchor_fields, generate_anchors, \
@@ -168,24 +168,28 @@ class GeneralizedRCNN(nn.Module):
         else:
             maps, strides = [pyramid["res5"]], [cfg.RPN.STRIDE]
 
-        # (B, K, T, 4) per-frame boxes → flat (B·K·T, 4)
+        # Group rois by slab (b, t): (B, K, T, 4) → (B·T, K, 4) — the dense
+        # RoIAlign batches its two matmuls per slab.
         per_frame = tubes.reshape(b, k, t, 4)
-        flat_rois = per_frame.reshape(b * k * t, 4)
+        slab_rois = per_frame.transpose(0, 2, 1, 3).reshape(b * t, k, 4)
         center = per_frame[:, :, t // 2, :].reshape(b * k, 4)
-        levels = assign_fpn_levels(
-            center, cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
-            cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL
-        ) if cfg.FPN.FPN_ON else jnp.zeros((b * k,), jnp.int32)
-        levels = jnp.repeat(levels, t)
-        slabs = (jnp.repeat(jnp.arange(b * k) // k, t) * t
-                 + jnp.tile(jnp.arange(t), (b * k,)))
+        if cfg.FPN.FPN_ON:
+            levels = assign_fpn_levels(
+                center, cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
+                cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL)
+        else:
+            levels = jnp.zeros((b * k,), jnp.int32)
+        # Level is a property of the tube (center frame): (B, K) → (B·T, K).
+        slab_levels = jnp.repeat(levels.reshape(b, 1, k), t,
+                                 axis=1).reshape(b * t, k)
 
-        # Flatten (B, T) into slabs for each level map.
         flat_maps = [m.reshape((-1,) + m.shape[2:]) for m in maps]
-        pooled = roi_align_multilevel_batched(
-            flat_maps, strides, flat_rois, levels, slabs,
-            resolution, sampling_ratio)
+        pooled = roi_align_multilevel_dense(
+            flat_maps, strides, slab_rois, slab_levels,
+            resolution, sampling_ratio)              # (B·T, K, P, P, C)
         c = pooled.shape[-1]
+        pooled = pooled.reshape(b, t, k, resolution, resolution, c)
+        pooled = pooled.transpose(0, 2, 1, 3, 4, 5)  # (B, K, T, ...)
         return pooled.reshape(b * k, t, resolution, resolution, c)
 
     # ------------------------------------------------------------------

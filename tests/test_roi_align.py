@@ -167,3 +167,48 @@ def test_multilevel_selects_per_roi():
     want1 = _np_roi_align(feats[1], rois[1:], 7, 2, 1.0 / 8)
     np.testing.assert_allclose(out[0], want0[0], atol=1e-4)
     np.testing.assert_allclose(out[1], want1[0], atol=1e-4)
+
+
+def test_dense_matches_oracle_multi_slab():
+    from detectandtrack_tpu.kernels.roi_align import roi_align_dense
+    rng = np.random.default_rng(7)
+    feat = rng.normal(size=(3, 24, 32, 8)).astype(np.float32)
+    rois = rng.uniform(2, 18, size=(3, 5, 4)).astype(np.float32)
+    rois[..., 2:] = rois[..., :2] + rng.uniform(3, 12, size=(3, 5, 2))
+    out = np.asarray(roi_align_dense(jnp.asarray(feat), jnp.asarray(rois),
+                                     7, 2, 0.5))
+    assert out.shape == (3, 5, 7, 7, 8)
+    for s in range(3):
+        want = _np_roi_align(feat[s], rois[s], 7, 2, 0.5)
+        np.testing.assert_allclose(out[s], want, atol=1e-3,
+                                   err_msg=f"slab {s}")
+
+
+def test_dense_multilevel_selection():
+    from detectandtrack_tpu.kernels.roi_align import (
+        roi_align_multilevel_dense)
+    rng = np.random.default_rng(8)
+    feats = [jnp.asarray(rng.normal(size=(2, 32 // 2 ** i, 32 // 2 ** i,
+                                          4)).astype(np.float32))
+             for i in range(2)]
+    rois = jnp.asarray(rng.uniform(0, 60, size=(2, 3, 4)).astype(np.float32))
+    rois = rois.at[..., 2:].set(rois[..., :2] + 30.0)
+    levels = jnp.asarray(rng.integers(0, 2, size=(2, 3)), jnp.int32)
+    out = np.asarray(roi_align_multilevel_dense(feats, [4, 8], rois, levels,
+                                                7, 2))
+    for s in range(2):
+        for r in range(3):
+            l = int(levels[s, r])
+            want = _np_roi_align(np.asarray(feats[l][s]),
+                                 np.asarray(rois[s, r:r + 1]), 7, 2,
+                                 1.0 / (4, 8)[l])
+            np.testing.assert_allclose(out[s, r], want[0], atol=1e-3)
+
+
+def test_dense_grad_flows():
+    from detectandtrack_tpu.kernels.roi_align import roi_align_dense
+    feat = jnp.ones((1, 16, 16, 4))
+    rois = jnp.asarray([[[2.0, 2.0, 12.0, 12.0]]])
+    g = jax.grad(lambda f: jnp.sum(roi_align_dense(f, rois) ** 2))(feat)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
