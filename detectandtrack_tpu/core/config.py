@@ -227,6 +227,9 @@ class SolverCfg:
     WARM_UP_METHOD: str = "linear"
     SCALE_MOMENTUM: bool = False
     LOG_LR_CHANGE_THRESHOLD: float = 1.1
+    # 0 = off. Global grad-norm clip (not in the reference; needed for
+    # from-scratch training where it only ever fine-tuned).
+    CLIP_GRAD_NORM: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -187,6 +187,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         return jax.tree_util.tree_map_with_path(mask_fn, params)
 
     txs = []
+    if cfg.SOLVER.CLIP_GRAD_NORM > 0:
+        txs.append(optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRAD_NORM))
     if cfg.SOLVER.WEIGHT_DECAY > 0:
         txs.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY,
                                              mask=decay_mask))
