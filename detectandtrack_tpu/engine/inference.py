@@ -44,19 +44,27 @@ def make_detect_fn(model: GeneralizedRCNN):
     return detect
 
 
+def clip_slice(det: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
+    """Batched padded outputs → one clip's dict."""
+    out = {"boxes": np.asarray(det["boxes"][i], np.float64),
+           "scores": np.asarray(det["scores"][i], np.float64),
+           "valid": np.asarray(det["valid"][i], bool)}
+    if "keypoints" in det and det["keypoints"] is not None:
+        out["keypoints"] = np.asarray(det["keypoints"][i], np.float64)
+    return out
+
+
 def detections_to_frames(
     det: Dict[str, np.ndarray],
     num_frames: int,
     scale: float,
-    clip_index_in_batch: int = 0,
 ) -> List[Dict[str, np.ndarray]]:
-    """One clip's padded device outputs → per-frame host detection dicts in
+    """One clip's padded outputs (already sliced) → per-frame host dicts in
     ORIGINAL image coordinates (parity: the rescale in im_detect_bbox)."""
-    i = clip_index_in_batch
-    boxes = np.asarray(det["boxes"][i], np.float64)          # (D, 4T)
-    scores = np.asarray(det["scores"][i], np.float64)
-    valid = np.asarray(det["valid"][i], bool)
-    kps = (np.asarray(det["keypoints"][i], np.float64)
+    boxes = np.asarray(det["boxes"], np.float64)             # (D, 4T)
+    scores = np.asarray(det["scores"], np.float64)
+    valid = np.asarray(det["valid"], bool)
+    kps = (np.asarray(det["keypoints"], np.float64)
            if "keypoints" in det else None)                  # (D, T, K, 4)
     d = boxes.shape[0]
     per_frame = boxes.reshape(d, num_frames, 4) / scale
@@ -95,6 +103,7 @@ def run_inference(
     stride = cfg.VIDEO.FRAME_STRIDE if cfg.VIDEO.VIDEO_ON else 1
     detect = make_detect_fn(model)
     bucket = tuple(cfg.TEST.SHAPE_BUCKETS[0])
+    use_flip_aug = cfg.TEST.BBOX_AUG_ENABLED or cfg.TEST.KPS_AUG_ENABLED
 
     # Build the tiling window list (with end-aligned tails).
     work: List[Tuple[str, int]] = []
@@ -113,16 +122,28 @@ def run_inference(
 
     results: Dict[str, Dict[int, Dict[str, np.ndarray]]] = {}
 
-    pending = []          # (device outputs, metas) awaiting host readback
+    pending = []    # (device outputs, flipped outputs|None, metas)
+
+    def consume(entry):
+        det, det_f, metas = entry
+        det = jax.tree.map(np.asarray, det)
+        if det_f is not None:
+            det_f = jax.tree.map(np.asarray, det_f)
+        for bi, (vid, start, scale) in enumerate(metas):
+            single = clip_slice(det, bi)
+            if det_f is not None:
+                from .augment import merge_flip_detections
+                single = merge_flip_detections(
+                    single, clip_slice(det_f, bi), bucket[1], t,
+                    cfg.TEST.NMS)
+            frames = detections_to_frames(single, t, scale)
+            slot = results.setdefault(vid, {})
+            for fi, fr in enumerate(frames):
+                slot[start + fi * stride] = fr
 
     def flush():
-        for det, metas in pending:
-            det = jax.tree.map(np.asarray, det)
-            for bi, (vid, start, scale) in enumerate(metas):
-                frames = detections_to_frames(det, t, scale, bi)
-                slot = results.setdefault(vid, {})
-                for fi, fr in enumerate(frames):
-                    slot[start + fi * stride] = fr
+        for entry in pending:
+            consume(entry)
         pending.clear()
 
     batch_items: List[Tuple[str, int, Dict[str, np.ndarray]]] = []
@@ -137,18 +158,13 @@ def run_inference(
             items.append(items[-1])
         clips = jnp.asarray(np.stack([it[2]["clips"] for it in items]))
         det = detect(params, clips)
+        det_f = detect(params, clips[:, :, :, ::-1]) if use_flip_aug else None
         metas = [(vid, start, float(it["scale"]))
                  for (vid, start, it) in batch_items]
-        pending.append((det, metas))
+        pending.append((det, det_f, metas))
         if len(pending) >= 2:          # double-buffer: read the older one
             for entry in pending[:-1]:
-                det_old, metas_old = entry
-                det_old = jax.tree.map(np.asarray, det_old)
-                for bi, (v, s, sc) in enumerate(metas_old):
-                    frames = detections_to_frames(det_old, t, sc, bi)
-                    slot = results.setdefault(v, {})
-                    for fi, fr in enumerate(frames):
-                        slot[s + fi * stride] = fr
+                consume(entry)
             del pending[:-1]
         batch_items = []
 
