@@ -478,14 +478,9 @@ def _hat_matrix(starts, bin_sizes, p, s, size, dtype):
     return (hat * valid[..., None]).sum(2).astype(dtype) / s  # (R, P, size)
 
 
-def roi_align_dense(
-    features: jnp.ndarray,      # (S, H, W, C) slab stack
-    rois: jnp.ndarray,          # (S, K, 4) rois grouped by slab
-    output_size: int = 7,
-    sampling_ratio: int = 2,
-    spatial_scale: float = 1.0,
-) -> jnp.ndarray:
-    """Slab-batched dense RoIAlign → (S, K, P, P, C)."""
+def _roi_align_dense_block(features, rois, output_size, sampling_ratio,
+                           spatial_scale, weight=None):
+    """One K-block of the dense RoIAlign (see roi_align_dense)."""
     s_dim, h, w, c = features.shape
     k = rois.shape[1]
     p = output_size
@@ -497,21 +492,68 @@ def roi_align_dense(
     dtype = features.dtype
     a = _hat_matrix(y1, bin_h, p, sampling_ratio, h, dtype)   # (S·K, P, H)
     b = _hat_matrix(x1, bin_w, p, sampling_ratio, w, dtype)   # (S·K, P, W)
+    if weight is not None:
+        # Per-roi multiplier (FPN level mask) folded into A, so masked rois
+        # contribute exact zeros and level outputs can be summed.
+        a = a * weight.reshape(s_dim * k, 1, 1).astype(dtype)
     a = a.reshape(s_dim, k * p, h)
     # (S, K·P, H) @ (S, H, W·C) → (S, K·P, W·C)
     tmp = jax.lax.dot_general(
         a, features.reshape(s_dim, h, w * c),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).reshape(s_dim * k, p, w, c)
-    # (S·K, Pq, W) ⊗ (S·K, Pp, W, C) → (S·K, Pp, Pq, C)
+    ).reshape(s_dim * k, p, w, c).astype(dtype)
+    # (S·K, Pq, W) ⊗ (S·K, Pp, W, C) → (S·K, Pq, Pp, C)
     out = jax.lax.dot_general(
         b, tmp,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                            # (S·K, Pq, Pp, C)
+    )
     out = out.swapaxes(1, 2)                     # (S·K, Pp, Pq, C)
     return out.astype(dtype).reshape(s_dim, k, p, p, c)
+
+
+# K-block size: bounds the (S, kc·P, W·C) matmul intermediate (the full-K
+# version materialized 26 GB at batch 8 and OOM'd the 16 GB HBM).
+_DENSE_CHUNK = 32
+
+
+def roi_align_dense(
+    features: jnp.ndarray,      # (S, H, W, C) slab stack
+    rois: jnp.ndarray,          # (S, K, 4) rois grouped by slab
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    spatial_scale: float = 1.0,
+    weight: Optional[jnp.ndarray] = None,   # (S, K) multiplier
+    chunk: int = _DENSE_CHUNK,
+) -> jnp.ndarray:
+    """Slab-batched dense RoIAlign → (S, K, P, P, C), K-chunked."""
+    s_dim, h, w, c = features.shape
+    k = rois.shape[1]
+    if k <= chunk:
+        return _roi_align_dense_block(features, rois, output_size,
+                                      sampling_ratio, spatial_scale, weight)
+    n_chunks = -(-k // chunk)
+    pad = n_chunks * chunk - k
+    rois_p = jnp.pad(jnp.asarray(rois, jnp.float32),
+                     ((0, 0), (0, pad), (0, 0)))
+    w_p = (jnp.pad(weight, ((0, 0), (0, pad))) if weight is not None
+           else None)
+    rois_c = rois_p.reshape(s_dim, n_chunks, chunk, 4).swapaxes(0, 1)
+
+    def body(args):
+        rc, wc = args
+        return _roi_align_dense_block(features, rc, output_size,
+                                      sampling_ratio, spatial_scale, wc)
+
+    if w_p is not None:
+        w_c = w_p.reshape(s_dim, n_chunks, chunk).swapaxes(0, 1)
+    else:
+        w_c = jnp.ones((n_chunks, s_dim, chunk), features.dtype)
+    out = jax.lax.map(body, (rois_c, w_c))      # (n_chunks, S, chunk, ...)
+    p = output_size
+    out = out.swapaxes(0, 1).reshape(s_dim, n_chunks * chunk, p, p, c)
+    return out[:, :k]
 
 
 def roi_align_multilevel_dense(
@@ -522,11 +564,17 @@ def roi_align_multilevel_dense(
     output_size: int = 7,
     sampling_ratio: int = 2,
 ) -> jnp.ndarray:
-    """FPN dense RoIAlign with per-roi level selection → (S, K, P, P, C)."""
-    outs = []
-    for feat, stride in zip(features, strides):
-        outs.append(roi_align_dense(feat, rois, output_size, sampling_ratio,
-                                    1.0 / stride))
-    stacked = jnp.stack(outs)                       # (L, S, K, P, P, C)
-    return jnp.take_along_axis(
-        stacked, levels[None, :, :, None, None, None], axis=0)[0]
+    """FPN dense RoIAlign with per-roi level selection → (S, K, P, P, C).
+
+    Levels are applied as masks folded into the interpolation matrices and
+    the per-level outputs are SUMMED (each roi selects exactly one level),
+    so only one (S, K, P, P, C) accumulator is live — the stack+select form
+    kept L of them and dominated HBM.
+    """
+    out = None
+    for li, (feat, stride) in enumerate(zip(features, strides)):
+        mask = (levels == li)
+        o = roi_align_dense(feat, rois, output_size, sampling_ratio,
+                            1.0 / stride, weight=mask)
+        out = o if out is None else out + o
+    return out
