@@ -31,7 +31,7 @@ def main():
     from detectandtrack_tpu.core.config import load_cfg
     from detectandtrack_tpu.models.detector import build_model
 
-    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     body = os.environ.get("BENCH_BODY", "resnet50")
     t = int(os.environ.get("BENCH_T", "8"))

@@ -37,6 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--out", default=None, help="output dir override")
     p.add_argument("--max-clips", type=int, default=None,
                    help="limit inference clips (debug)")
+    p.add_argument("--vis", action="store_true",
+                   help="write annotated frames (track mode)")
     p.add_argument("opts", nargs="*",
                    help="dotted config overrides: KEY VALUE ...")
     return p.parse_args(argv)
@@ -183,6 +185,9 @@ def mode_track(args, cfg):
     paths = write_posetrack_results(tracked, out_dir)
     logger.info("wrote %d track files to %s", len(paths), out_dir)
 
+    if args.vis:
+        _write_vis(cfg, tracked, logger)
+
     # Evaluate when GT is available.
     try:
         ds = _dataset(cfg, cfg.TEST.DATASETS or cfg.TRAIN.DATASETS)
@@ -208,6 +213,38 @@ def mode_track(args, cfg):
                   "w") as f:
             json.dump(metrics, f, indent=2)
     return out_dir
+
+
+def _write_vis(cfg, tracked, logger):
+    """Draw tracked detections over the source frames (parity: utils/vis)."""
+    import cv2
+    from ..utils.vis import draw_detections
+    try:
+        ds = _dataset(cfg, cfg.TEST.DATASETS or cfg.TRAIN.DATASETS)
+    except (SystemExit, FileNotFoundError, KeyError):
+        logger.warning("--vis: no dataset available for source frames")
+        return
+    vis_dir = os.path.join(cfg.OUTPUT_DIR, "vis")
+    os.makedirs(vis_dir, exist_ok=True)
+    n_written = 0
+    for vid, frames in tracked.items():
+        recs = ds.video_frames(vid)
+        for fi, fr in enumerate(frames):
+            if fi >= len(recs):
+                break
+            img = cv2.imread(ds.image_path(recs[fi]))
+            if img is None:
+                continue
+            img = draw_detections(
+                img, fr["boxes"], fr["scores"],
+                keypoints=fr.get("keypoints"),
+                track_ids=fr["track_ids"],
+                valid=fr["track_ids"] >= 0)
+            out = os.path.join(vis_dir, f"{vid.replace('/', '_')}_"
+                               f"{fi:06d}.jpg")
+            cv2.imwrite(out, img)
+            n_written += 1
+    logger.info("--vis: wrote %d annotated frames to %s", n_written, vis_dir)
 
 
 def mode_demo_data(args, cfg):

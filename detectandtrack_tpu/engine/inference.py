@@ -99,10 +99,12 @@ def run_inference(
     covered exactly once; the tail of a video shorter than T is covered by
     a final window aligned to the video end.
     """
+    from ..data.pipeline import choose_scale, pick_bucket
+
     t = cfg.VIDEO.NUM_FRAMES if cfg.VIDEO.VIDEO_ON else 1
     stride = cfg.VIDEO.FRAME_STRIDE if cfg.VIDEO.VIDEO_ON else 1
-    detect = make_detect_fn(model)
-    bucket = tuple(cfg.TEST.SHAPE_BUCKETS[0])
+    detect = make_detect_fn(model)   # one jit; caches one program per bucket
+    buckets = [tuple(b) for b in cfg.TEST.SHAPE_BUCKETS]
     use_flip_aug = cfg.TEST.BBOX_AUG_ENABLED or cfg.TEST.KPS_AUG_ENABLED
 
     # Build the tiling window list (with end-aligned tails).
@@ -125,7 +127,7 @@ def run_inference(
     pending = []    # (device outputs, flipped outputs|None, metas)
 
     def consume(entry):
-        det, det_f, metas = entry
+        det, det_f, metas, bucket = entry
         det = jax.tree.map(np.asarray, det)
         if det_f is not None:
             det_f = jax.tree.map(np.asarray, det_f)
@@ -146,38 +148,48 @@ def run_inference(
             consume(entry)
         pending.clear()
 
-    batch_items: List[Tuple[str, int, Dict[str, np.ndarray]]] = []
+    # Per-bucket batch queues: clips land in the smallest bucket that fits
+    # their scaled shape (config 5 streaming); each bucket shape compiles
+    # once and is reused.
+    queues: Dict[Tuple[int, int], List] = {b: [] for b in buckets}
 
-    def submit():
-        nonlocal batch_items
-        if not batch_items:
+    def submit(bucket):
+        items = queues[bucket]
+        if not items:
             return
         # Pad the final partial batch by repeating the last clip.
-        items = list(batch_items)
-        while len(items) < batch_size:
-            items.append(items[-1])
-        clips = jnp.asarray(np.stack([it[2]["clips"] for it in items]))
+        full = list(items)
+        while len(full) < batch_size:
+            full.append(full[-1])
+        clips = jnp.asarray(np.stack([it[2]["clips"] for it in full]))
         det = detect(params, clips)
         det_f = detect(params, clips[:, :, :, ::-1]) if use_flip_aug else None
         metas = [(vid, start, float(it["scale"]))
-                 for (vid, start, it) in batch_items]
-        pending.append((det, det_f, metas))
+                 for (vid, start, it) in items]
+        pending.append((det, det_f, metas, bucket))
         if len(pending) >= 2:          # double-buffer: read the older one
             for entry in pending[:-1]:
                 consume(entry)
             del pending[:-1]
-        batch_items = []
+        queues[bucket] = []
 
     for vid, start in work:
+        first = dataset.video_frames(vid)[start]
+        scale = choose_scale(first.height or 1, first.width or 1,
+                             cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+        sh = int(round((first.height or 1) * scale))
+        sw = int(round((first.width or 1) * scale))
+        bucket = pick_bucket(sh, sw, buckets)
         item = load_clip(
             dataset, ClipSpec(vid, start), t, stride,
             cfg.DATA.PIXEL_MEANS, cfg.DATA.PIXEL_STDS,
             cfg.TEST.SCALE, cfg.TEST.MAX_SIZE, bucket_hw=bucket,
             max_gt=1, num_keypoints=cfg.KRCNN.NUM_KEYPOINTS)
-        batch_items.append((vid, start, item))
-        if len(batch_items) == batch_size:
-            submit()
-    submit()
+        queues[bucket].append((vid, start, item))
+        if len(queues[bucket]) == batch_size:
+            submit(bucket)
+    for b in buckets:
+        submit(b)
     flush()
 
     # Dict-of-frame-index → ordered list.
