@@ -58,18 +58,31 @@ class GeneralizedRCNN(nn.Module):
         if cfg.FPN.FPN_ON:
             self.fpn = FPN(dim=cfg.FPN.DIM, dtype=dtype)
         self.rpn_head = RPNHead(
-            dim=cfg.FPN.DIM if cfg.FPN.FPN_ON else 512,
+            dim=cfg.FPN.DIM if cfg.FPN.FPN_ON else 1024,
             num_anchors=len(cfg.RPN.ASPECT_RATIOS) if cfg.FPN.FPN_ON else
             len(cfg.RPN.ASPECT_RATIOS) * len(cfg.RPN.SIZES),
             num_frames=t,
             dtype=dtype,
         )
-        self.box_head = BoxHead2MLP(
-            num_classes=cfg.MODEL.NUM_CLASSES,
-            num_frames=t,
-            hidden_dim=cfg.FAST_RCNN.MLP_HEAD_DIM,
-            dtype=dtype,
-        )
+        if cfg.FPN.FPN_ON and cfg.FAST_RCNN.ROI_BOX_HEAD == "2mlp_head":
+            self.box_head = BoxHead2MLP(
+                num_classes=cfg.MODEL.NUM_CLASSES,
+                num_frames=t,
+                hidden_dim=cfg.FAST_RCNN.MLP_HEAD_DIM,
+                dtype=dtype,
+            )
+        else:
+            # C4 family: box head is the res5 stage on pooled res4 features
+            # (lineage res5_head), global-avg-pooled.
+            from .heads import Res5BoxHead
+            self.box_head = Res5BoxHead(
+                num_classes=cfg.MODEL.NUM_CLASSES,
+                num_frames=t,
+                time_kernel=(cfg.VIDEO.TIME_KERNEL_DIM[4]
+                             if cfg.VIDEO.VIDEO_ON else 1),
+                stride_1x1=cfg.RESNETS.STRIDE_1X1,
+                dtype=dtype,
+            )
         if cfg.MODEL.KEYPOINTS_ON:
             self.kps_head = KeypointHead(
                 num_keypoints=cfg.KRCNN.NUM_KEYPOINTS,
@@ -87,18 +100,20 @@ class GeneralizedRCNN(nn.Module):
     # ------------------------------------------------------------------
 
     def features(self, clips: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """clips (B, T, H, W, 3) → pyramid {p2..p6} or {res5}."""
+        """clips (B, T, H, W, 3) → pyramid {p2..p6}, or {res4} (C4 mode:
+        RPN + RoI pooling ride the stride-16 res4 map; res5 is the box
+        head — the lineage's no-FPN wiring)."""
         feats = self.backbone(clips)
         if self.cfg.FPN.FPN_ON:
             return self.fpn(feats)
-        return {"res5": feats["res5"]}
+        return {"res4": feats["res4"]}
 
     def _pyramid_list(self, pyramid):
         cfg = self.cfg
         if cfg.FPN.FPN_ON:
             lvls = range(cfg.FPN.RPN_MIN_LEVEL, cfg.FPN.RPN_MAX_LEVEL + 1)
             return [pyramid[f"p{l}"] for l in lvls], [2 ** l for l in lvls]
-        return [pyramid["res5"]], [cfg.RPN.STRIDE]
+        return [pyramid["res4"]], [cfg.RPN.STRIDE]
 
     # ------------------------------------------------------------------
     # RPN + proposals (in-graph)
@@ -166,7 +181,7 @@ class GeneralizedRCNN(nn.Module):
             maps = [pyramid[f"p{l}"] for l in lvls]
             strides = [2 ** l for l in lvls]
         else:
-            maps, strides = [pyramid["res5"]], [cfg.RPN.STRIDE]
+            maps, strides = [pyramid["res4"]], [cfg.RPN.STRIDE]
 
         # Group rois by slab (b, t): (B, K, T, 4) → (B·T, K, 4) — the dense
         # RoIAlign batches its two matmuls per slab.

@@ -1,0 +1,83 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detectandtrack_tpu.core.config import load_cfg
+from detectandtrack_tpu.data.posetrack import PosetrackDataset
+from detectandtrack_tpu.data.synthetic import generate_synthetic_posetrack
+from detectandtrack_tpu.engine.inference import (
+    clip_slice,
+    detections_to_frames,
+    make_detect_fn,
+    run_inference,
+)
+from detectandtrack_tpu.models.detector import build_model
+
+TINY = [
+    "MODEL.CONV_BODY", "resnet18",
+    "MODEL.COMPUTE_DTYPE", "float32",
+    "RPN.PRE_NMS_TOP_N_TEST", 50,
+    "RPN.POST_NMS_TOP_N_TEST", 16,
+    "TEST.DETECTIONS_PER_IM", 4,
+    "TEST.SCORE_THRESH", -1.0,
+    "TEST.SCALE", 64, "TEST.MAX_SIZE", 96,
+    "TEST.SHAPE_BUCKETS", "[[64, 96]]",
+    "KRCNN.NUM_STACKED_CONVS", 2,
+    "KRCNN.CONV_HEAD_DIM", 32,
+]
+
+
+def test_detections_to_frames_rescales():
+    det = {
+        "boxes": np.array([[10.0, 20.0, 30.0, 40.0, 12.0, 22.0, 32.0,
+                            42.0]]),
+        "scores": np.array([0.9]),
+        "valid": np.array([True]),
+        "keypoints": np.ones((1, 2, 15, 4)) * 50.0,
+    }
+    frames = detections_to_frames(det, num_frames=2, scale=2.0)
+    assert len(frames) == 2
+    np.testing.assert_allclose(frames[0]["boxes"][0], [5, 10, 15, 20])
+    np.testing.assert_allclose(frames[1]["boxes"][0], [6, 11, 16, 21])
+    np.testing.assert_allclose(frames[0]["keypoints"][0, :, 0], 25.0)
+    # score channel (prob) preserved, not rescaled
+    np.testing.assert_allclose(frames[0]["keypoints"][0, :, 2], 50.0)
+
+
+@pytest.mark.slow
+def test_run_inference_covers_every_frame(tmp_path):
+    json_path = generate_synthetic_posetrack(
+        str(tmp_path), num_videos=2, frames_per_video=5,
+        image_hw=(64, 96), people_per_video=1, seed=1)
+    ds = PosetrackDataset(json_path, str(tmp_path))
+    cfg = load_cfg(opts=TINY + ["VIDEO.VIDEO_ON", True,
+                                "VIDEO.NUM_FRAMES", 2])
+    model = build_model(cfg)
+    clip = jnp.zeros((1, 2, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+    dets = run_inference(cfg, model, params, ds)
+    assert set(dets) == {"video_0000", "video_0001"}
+    for vid, frames in dets.items():
+        # 5 frames, T=2 windows at 0, 2, (tail) 3 → frames 0..4 covered
+        assert len(frames) == 5
+        for fr in frames:
+            assert fr["boxes"].shape == (4, 4)
+            assert fr["keypoints"].shape == (4, 15, 3)
+
+
+def test_fixed_shapes_no_recompile():
+    """The fixed-shape contract: repeated calls with the same bucket reuse
+    one compiled program."""
+    cfg = load_cfg(opts=TINY)
+    model = build_model(cfg)
+    detect = make_detect_fn(model)
+    clip = jnp.zeros((1, 1, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+    detect(params, clip)
+    n1 = detect._cache_size()
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        detect(params, jnp.asarray(rng.normal(size=(1, 1, 64, 96, 3)),
+                                   jnp.float32))
+    assert detect._cache_size() == n1 == 1

@@ -151,3 +151,21 @@ def test_detector_3d_tubes_end_to_end():
     assert out["boxes"].shape == (1, 5, 12)          # 4·T
     assert out["proposals"].shape == (1, 20, 12)
     assert out["keypoints"].shape == (1, 5, 3, 15, 4)
+
+
+@pytest.mark.slow
+def test_detector_c4_no_fpn():
+    """C4 family: RPN + pooling on res4 (stride 16), res5 box head."""
+    cfg = load_cfg(opts=TINY_OPTS + [
+        "FPN.FPN_ON", False,
+        "FAST_RCNN.ROI_BOX_HEAD", "res5_head",
+        "FAST_RCNN.ROI_XFORM_RESOLUTION", 14,
+        "MODEL.KEYPOINTS_ON", False,
+    ])
+    model = build_model(cfg)
+    clip = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 1, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+    out = model.apply(params, clip)
+    assert out["boxes"].shape == (1, 5, 4)
+    assert np.isfinite(np.asarray(out["scores"])).all()
