@@ -41,7 +41,7 @@ def parse_args(argv=None):
                    help="write annotated frames (track mode)")
     p.add_argument("opts", nargs="*",
                    help="dotted config overrides: KEY VALUE ...")
-    return p.parse_args(argv)
+    return p.parse_intermixed_args(argv)
 
 
 def _load_cfg(args):

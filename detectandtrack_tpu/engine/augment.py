@@ -71,6 +71,10 @@ def merge_flip_detections(
         fk = _unflip_keypoints(det_flipped["keypoints"], image_width,
                                dataset)
         kps = np.concatenate([det["keypoints"], fk], axis=0)
+    feats = None
+    if "features" in det:
+        feats = np.concatenate([det["features"],
+                                det_flipped["features"]], axis=0)
 
     center = boxes.reshape(-1, t, 4)[:, t // 2]
     masked_scores = np.where(valid, scores, -1.0)
@@ -82,6 +86,8 @@ def merge_flip_detections(
     out_valid = np.zeros((max_out,), bool)
     out_kps = (np.zeros((max_out,) + kps.shape[1:], kps.dtype)
                if kps is not None else None)
+    out_feats = (np.zeros((max_out,) + feats.shape[1:], feats.dtype)
+                 if feats is not None else None)
 
     def _iou(a, b):
         iw = max(0.0, min(a[2], b[2]) - max(a[0], b[0]) + 1)
@@ -95,6 +101,8 @@ def merge_flip_detections(
         out_boxes[slot] = boxes[i]
         out_scores[slot] = scores[i]
         out_valid[slot] = True
+        if out_feats is not None:
+            out_feats[slot] = feats[i]
         if out_kps is not None:
             k = kps[i]
             # Average coordinates with the best-IoU match from the OTHER
@@ -115,6 +123,8 @@ def merge_flip_detections(
     out = {"boxes": out_boxes, "scores": out_scores, "valid": out_valid}
     if out_kps is not None:
         out["keypoints"] = out_kps
+    if out_feats is not None:
+        out["features"] = out_feats
     return out
 
 

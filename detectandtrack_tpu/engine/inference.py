@@ -36,7 +36,7 @@ def make_detect_fn(model: GeneralizedRCNN):
     def detect(params, clips):
         out = model.apply(params, clips)
         keep = {"boxes": out["boxes"], "scores": out["scores"],
-                "valid": out["valid"]}
+                "valid": out["valid"], "features": out["features"]}
         if "keypoints" in out:
             keep["keypoints"] = out["keypoints"]
         return keep
@@ -51,6 +51,8 @@ def clip_slice(det: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
            "valid": np.asarray(det["valid"][i], bool)}
     if "keypoints" in det and det["keypoints"] is not None:
         out["keypoints"] = np.asarray(det["keypoints"][i], np.float64)
+    if "features" in det and det["features"] is not None:
+        out["features"] = np.asarray(det["features"][i], np.float32)
     return out
 
 
@@ -81,6 +83,9 @@ def detections_to_frames(
             # [x, y, logit, prob] → keep [x, y, prob] as keypoint triple
             fr["keypoints"] = np.stack(
                 [k[..., 0], k[..., 1], k[..., 3]], axis=-1)
+        if "features" in det:
+            # Appearance feature is per tube → shared across its frames.
+            fr["features"] = np.asarray(det["features"], np.float32)
         frames.append(fr)
     return frames
 
