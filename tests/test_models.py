@@ -169,3 +169,38 @@ def test_detector_c4_no_fpn():
     out = model.apply(params, clip)
     assert out["boxes"].shape == (1, 5, 4)
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+@pytest.mark.slow
+def test_detector_center_frame_keypoints():
+    """VIDEO.PREDICT_ALL_FRAMES=false: keypoints computed on the center
+    frame only, broadcast to the (B, D, T, K, 4) contract."""
+    cfg = load_cfg(opts=TINY_OPTS + [
+        "VIDEO.VIDEO_ON", True,
+        "VIDEO.NUM_FRAMES", 3,
+        "VIDEO.PREDICT_ALL_FRAMES", False,
+    ])
+    model = build_model(cfg)
+    clip = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 3, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+    out = model.apply(params, clip)
+    kps = np.asarray(out["keypoints"])
+    assert kps.shape == (1, 5, 3, 15, 4)
+    # all frames carry the center-frame pose
+    np.testing.assert_allclose(kps[:, :, 0], kps[:, :, 1])
+    np.testing.assert_allclose(kps[:, :, 2], kps[:, :, 1])
+
+
+@pytest.mark.slow
+def test_detector_soft_nms():
+    cfg = load_cfg(opts=TINY_OPTS + [
+        "TEST.SOFT_NMS_ENABLED", True,
+        "MODEL.KEYPOINTS_ON", False,
+    ])
+    model = build_model(cfg)
+    clip = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 1, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+    out = model.apply(params, clip)
+    assert np.isfinite(np.asarray(out["scores"])).all()
