@@ -283,33 +283,42 @@ class GeneralizedRCNN(nn.Module):
 
         # --- keypoint head on final detections ---
         if cfg.MODEL.KEYPOINTS_ON:
+            # Optional budget: heatmaps only for the top-M detections
+            # (final NMS returns them score-sorted).
+            m_kp = cfg.KRCNN.MAX_ROIS_PER_IM or d_max
+            m_kp = min(m_kp, d_max)
+            kp_boxes = det_boxes[:, :m_kp]
             kp_pooled = self.roi_transform(
-                pyramid, det_boxes, cfg.KRCNN.ROI_XFORM_RESOLUTION,
+                pyramid, kp_boxes, cfg.KRCNN.ROI_XFORM_RESOLUTION,
                 cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO)
             t_kp = t
-            det_kp_boxes = det_boxes
+            det_kp_boxes = kp_boxes
             if cfg.VIDEO.VIDEO_ON and not cfg.VIDEO.PREDICT_ALL_FRAMES:
                 # Center-frame-only supervision/inference (paper ablation):
                 # run the head on the center frame of each tube.
                 kp_pooled = kp_pooled[:, t // 2:t // 2 + 1]
-                det_kp_boxes = det_boxes.reshape(
-                    b, d_max, t, 4)[:, :, t // 2:t // 2 + 1].reshape(
-                    b, d_max, 4)
+                det_kp_boxes = kp_boxes.reshape(
+                    b, m_kp, t, 4)[:, :, t // 2:t // 2 + 1].reshape(
+                    b, m_kp, 4)
                 t_kp = 1
-            heatmaps = self.kps_head(kp_pooled)         # (B·D, Tk, S, S, K)
+            heatmaps = self.kps_head(kp_pooled)         # (B·M, Tk, S, S, K)
             s_hm = heatmaps.shape[2]
             n_kp = cfg.KRCNN.NUM_KEYPOINTS
-            hm_flat = heatmaps.reshape(b * d_max * t_kp, s_hm, s_hm, n_kp)
-            rois_flat = det_kp_boxes.reshape(b * d_max * t_kp, 4)
+            hm_flat = heatmaps.reshape(b * m_kp * t_kp, s_hm, s_hm, n_kp)
+            rois_flat = det_kp_boxes.reshape(b * m_kp * t_kp, 4)
             kps = heatmaps_to_keypoints(
                 hm_flat.transpose(0, 3, 1, 2), rois_flat)
-            kps = kps.reshape(b, d_max, t_kp, n_kp, 4)
+            kps = kps.reshape(b, m_kp, t_kp, n_kp, 4)
             if t_kp != t:
                 # Broadcast the center-frame pose to all frames so the
                 # output contract stays (B, D, T, K, 4).
-                kps = jnp.broadcast_to(kps, (b, d_max, t, n_kp, 4))
+                kps = jnp.broadcast_to(kps, (b, m_kp, t, n_kp, 4))
+            if m_kp != d_max:
+                kps = jnp.pad(kps,
+                              ((0, 0), (0, d_max - m_kp), (0, 0), (0, 0),
+                               (0, 0)))
             out["keypoints"] = kps
-            out["heatmaps"] = heatmaps.reshape(b, d_max, t_kp, s_hm, s_hm,
+            out["heatmaps"] = heatmaps.reshape(b, m_kp, t_kp, s_hm, s_hm,
                                                n_kp)
 
         if cfg.MODEL.MASK_ON:

@@ -204,3 +204,18 @@ def test_detector_soft_nms():
     params = model.init(jax.random.PRNGKey(0), clip)
     out = model.apply(params, clip)
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+@pytest.mark.slow
+def test_detector_keypoint_budget():
+    """KRCNN.MAX_ROIS_PER_IM limits the kps head to top-M detections."""
+    cfg = load_cfg(opts=TINY_OPTS + ["KRCNN.MAX_ROIS_PER_IM", 2])
+    model = build_model(cfg)
+    clip = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 1, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+    out = model.apply(params, clip)
+    kps = np.asarray(out["keypoints"])
+    assert kps.shape == (1, 5, 1, 15, 4)
+    assert np.abs(kps[:, 2:]).sum() == 0       # beyond budget: zero-padded
+    assert np.abs(kps[:, :2]).sum() > 0
