@@ -14,8 +14,9 @@ host over the padded outputs:
   'hm_avg' approximated at the coordinate level — the reference averages
   heatmaps; coordinate averaging of the two decodes is within quarter-bin).
 
-Multi-scale augmentation falls out of the bucket mechanism: run the other
-scale bucket and union the same way (`aug_detect_multiscale`).
+Multi-scale augmentation falls out of the bucket mechanism (run the other
+scale bucket and union with `merge_flip_detections`'s NMS step) — not yet
+wired into the runner; see STATUS.md.
 """
 
 from __future__ import annotations
