@@ -9,8 +9,9 @@ the 3D R-50 T=8 pipeline (two device round-trips + host NMS per clip on a
 2017 GPU; see BASELINE.md row "Reference inference throughput"). The
 north-star target is >= 10x that estimate.
 
-Env knobs: BENCH_BATCH (default 2), BENCH_BUCKET ("448x768"),
-BENCH_ITERS (default 20), BENCH_BODY (resnet50), BENCH_T (8).
+Env knobs: BENCH_BATCH (default 4), BENCH_BUCKET ("448x768"),
+BENCH_ITERS (default 10), BENCH_BODY (resnet50), BENCH_T (8),
+BENCH_KPS_BUDGET (0 = keypoints for all detections).
 """
 
 import json
@@ -38,6 +39,7 @@ def main():
     bucket = os.environ.get("BENCH_BUCKET", "448x768")
     bh, bw = (int(x) for x in bucket.split("x"))
 
+    kps_budget = int(os.environ.get("BENCH_KPS_BUDGET", "0"))
     cfg = load_cfg(opts=[
         "MODEL.CONV_BODY", body,
         "VIDEO.VIDEO_ON", t > 1,
@@ -45,6 +47,7 @@ def main():
         "VIDEO.TIME_KERNEL_DIM", "[3, 3, 3, 3, 1]",
         "TEST.SHAPE_BUCKETS", f"[[{bh}, {bw}]]",
         "TEST.SCORE_THRESH", 0.0,
+        "KRCNN.MAX_ROIS_PER_IM", kps_budget,
     ])
     model = build_model(cfg)
 
