@@ -63,20 +63,37 @@ def main():
         return out["boxes"], out["scores"], out["valid"], out.get(
             "keypoints")
 
+    # XLA's own flop count for the compiled program → MFU (the honest
+    # absolute metric; the Caffe2 multiple below rests on an estimate).
+    flops_per_call = None
+    try:
+        cost = detect.lower(params, clips).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_call = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     # Warm-up (compile; ~minutes cold over the remote-compile tunnel).
     out = detect(params, clips)
-    float(jnp.sum(out[1]))
+    jax.tree.map(lambda x: np.asarray(x) if x is not None else None, out)
 
-    # Per-iteration host fetch of a scalar: the axon tunnel can elide
-    # repeated un-fetched dispatches, so async-chain timing over-reports
-    # (observed 6223 "clips/s"); a sync per iter measures real execution.
+    # Measurement rules (verify skill): device_get EVERY output leaf per
+    # iteration — the axon runtime can elide un-fetched dispatches, and the
+    # real pipeline pays the same host transfer when it consumes
+    # detections, so fetching everything is both honest and realistic.
     t0 = time.perf_counter()
     for _ in range(iters):
         out = detect(params, clips)
-        float(jnp.sum(out[1]))
+        jax.tree.map(lambda x: np.asarray(x) if x is not None else None,
+                     out)
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch * iters / dt
+    # TPU v5e peak: 394 TFLOP/s bf16 / 197 f32.
+    peak = 394e12
+    mfu = (flops_per_call * iters / dt / peak * 100.0
+           if flops_per_call else None)
     result = {
         "metric": f"PoseTrack inference clips/sec/chip "
                   f"({body} T={t} {bh}x{bw} b{batch})",
@@ -84,6 +101,10 @@ def main():
         "unit": "clips/sec/chip",
         "vs_baseline": round(
             clips_per_sec / CAFFE2_GPU_CLIPS_PER_SEC_ESTIMATE, 2),
+        "frames_per_sec": round(clips_per_sec * t, 1),
+        "mfu_pct": round(mfu, 2) if mfu is not None else None,
+        "model_tflops_per_clip": (round(flops_per_call / batch / 1e12, 3)
+                                  if flops_per_call else None),
     }
     print(json.dumps(result))
 

@@ -89,8 +89,10 @@ def mode_train(args, cfg):
     from ..utils.lr_policy import get_lr_at_iter
     from ..utils.logging_utils import setup_logging
     from ..utils.training_stats import TrainingStats
+    import logging
 
-    logger = setup_logging()
+    logger = setup_logging(
+        level=logging.DEBUG if cfg.DEBUG else logging.INFO)
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
     ds = _dataset(cfg, cfg.TRAIN.DATASETS)
     model, params = _init_model(cfg, args.weights or cfg.TRAIN.WEIGHTS
@@ -114,7 +116,26 @@ def mode_train(args, cfg):
     batcher = ClipBatcher(ds, cfg, train=True, seed=cfg.RNG_SEED)
     bsh = batch_sharded(mesh)
 
+    def lr_at(i):
+        return get_lr_at_iter(
+            i, base_lr=cfg.SOLVER.BASE_LR, policy=cfg.SOLVER.LR_POLICY,
+            gamma=cfg.SOLVER.GAMMA, steps=cfg.SOLVER.STEPS,
+            warm_up_iters=cfg.SOLVER.WARM_UP_ITERS,
+            warm_up_factor=cfg.SOLVER.WARM_UP_FACTOR,
+            warm_up_method=cfg.SOLVER.WARM_UP_METHOD)
+
+    def log_metrics(pending_metrics, i):
+        # Device→host read of a PREVIOUS step's metrics: the current step
+        # is already dispatched, so this read never stalls the chip (the
+        # reference's per-iteration host sync was the GPU-idle bubble
+        # SURVEY §3.1 calls out; round 1 reproduced it by reading the
+        # just-dispatched step).
+        vals = {k: float(v) for k, v in pending_metrics.items()}
+        stats.update_iter_stats(vals, i, lr_at(i))
+
     it = start_step
+    prev = None                          # (device metrics, iter) 1-step lag
+    prev_lr = lr_at(max(it - 1, 0))
     while it < cfg.SOLVER.MAX_ITER:
         loader = DeviceLoader(
             batcher.epoch(cfg.TRAIN.IMS_PER_BATCH * mesh.devices.size),
@@ -122,22 +143,30 @@ def mode_train(args, cfg):
         for batch in loader:
             stats.iter_tic()
             state, metrics = step_fn(state, batch)
-            metrics = {k: float(v) for k, v in metrics.items()}
+            if prev is not None:
+                log_metrics(*prev)
+            prev = (metrics, it)
             stats.iter_toc()
-            lr = get_lr_at_iter(
-                it, base_lr=cfg.SOLVER.BASE_LR, policy=cfg.SOLVER.LR_POLICY,
-                gamma=cfg.SOLVER.GAMMA, steps=cfg.SOLVER.STEPS,
-                warm_up_iters=cfg.SOLVER.WARM_UP_ITERS,
-                warm_up_factor=cfg.SOLVER.WARM_UP_FACTOR,
-                warm_up_method=cfg.SOLVER.WARM_UP_METHOD)
-            stats.update_iter_stats(metrics, it, lr)
+            lr = lr_at(it)
+            ratio = (max(lr, prev_lr) / max(min(lr, prev_lr), 1e-12)
+                     if prev_lr > 0 else 1.0)
+            if lr != prev_lr and ratio >= (
+                    cfg.SOLVER.LOG_LR_CHANGE_THRESHOLD):
+                logger.info("lr change: %.6f -> %.6f at iter %d",
+                            prev_lr, lr, it)
+            prev_lr = lr
             it += 1
             if it % cfg.TRAIN.CHECKPOINT_PERIOD == 0 or (
                     it >= cfg.SOLVER.MAX_ITER):
+                if prev is not None:     # drain before snapshotting
+                    log_metrics(*prev)
+                    prev = None
                 host_state = jax.tree.map(np.asarray, state)
                 save_checkpoint(ckpt_dir, host_state, it)
             if it >= cfg.SOLVER.MAX_ITER:
                 break
+    if prev is not None:
+        log_metrics(*prev)
     host_params = jax.tree.map(np.asarray, state.params)
     final = os.path.join(cfg.OUTPUT_DIR, "model_final.npz")
     save_weights_npz(final, host_params)
@@ -147,7 +176,9 @@ def mode_train(args, cfg):
 
 
 def mode_test(args, cfg):
+    import jax
     from ..engine.inference import run_inference
+    from ..parallel.mesh import make_mesh
     from ..utils.logging_utils import setup_logging
 
     logger = setup_logging()
@@ -155,8 +186,14 @@ def mode_test(args, cfg):
     ds = _dataset(cfg, cfg.TEST.DATASETS or cfg.TRAIN.DATASETS)
     model, params = _init_model(cfg, args.weights or cfg.TEST.WEIGHTS
                                 or None, cfg.RNG_SEED)
+    # Shard the clip batch over all local devices (parity:
+    # multi_gpu_test_net_on_dataset's per-GPU fan-out, SURVEY §3.2).
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    if mesh is not None:
+        logger.info("sharded inference over %d devices", mesh.devices.size)
     t0 = time.time()
-    dets = run_inference(cfg, model, params, ds, max_clips=args.max_clips)
+    dets = run_inference(cfg, model, params, ds, max_clips=args.max_clips,
+                         mesh=mesh)
     dt = time.time() - t0
     n_frames = sum(len(v) for v in dets.values())
     logger.info("inference over %d frames in %.1fs (%.2f fps)",

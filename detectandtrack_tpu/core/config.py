@@ -152,12 +152,16 @@ class KrcnnCfg:
     # Loss: softmax-CE over discretized GT location, normalized by visible kps.
     LOSS_WEIGHT: float = 1.0
     NORMALIZE_BY_VISIBLE_KEYPOINTS: bool = True
-    # Inference decode
+    # Detections whose (center-frame) short side is below this get zeroed
+    # keypoint scores at inference (lineage KRCNN.INFERENCE_MIN_SIZE).
     INFERENCE_MIN_SIZE: int = 0
     # Perf knob: run the keypoint head on only the top-M score-sorted
     # detections (0 = all of TEST.DETECTIONS_PER_IM). Remaining slots get
     # zero keypoints. The kps branch is ~half of inference time at D=100.
     MAX_ROIS_PER_IM: int = 0
+    # Training keypoint budget: the keypoint head/loss run on the first M
+    # (fg-sorted) sampled RoIs per image.
+    TRAIN_MAX_ROIS_PER_IM: int = 64
 
 
 @dataclass(frozen=True)
@@ -205,11 +209,17 @@ class TestCfg:
     DETECTIONS_PER_IM: int = 100
     SCORE_THRESH: float = 0.05
     BBOX_AUG_ENABLED: bool = False
+    # Extra TEST.SCALE values for multi-scale TTA (lineage BBOX_AUG.SCALES):
+    # each clip runs once per scale (+ flips when enabled) and the union is
+    # re-NMS'd in original-image coordinates.
+    BBOX_AUG_SCALES: Tuple[int, ...] = _tup()
     KPS_AUG_ENABLED: bool = False
     SOFT_NMS_ENABLED: bool = False
     SOFT_NMS_METHOD: str = "linear"
     SOFT_NMS_SIGMA: float = 0.5
     BBOX_VOTE_ENABLED: bool = False
+    # IoU threshold for box voting (lineage TEST.BBOX_VOTE.VOTE_TH).
+    BBOX_VOTE_THRESH: float = 0.8
     # Bucketed static input shapes (H, W multiples of FPN.COARSEST_STRIDE);
     # the pipeline pads every image/clip into one of these buckets.
     SHAPE_BUCKETS: Tuple[Tuple[int, int], ...] = _tup((800, 1344),)
@@ -229,7 +239,10 @@ class SolverCfg:
     WARM_UP_ITERS: int = 500
     WARM_UP_FACTOR: float = 1.0 / 3.0
     WARM_UP_METHOD: str = "linear"
-    SCALE_MOMENTUM: bool = False
+    # Momentum correction on LR change (Caffe2 CorrectMomentum). optax's
+    # SGD form (update = -lr · trace) is natively the corrected variant, so
+    # only True is supported (validated below).
+    SCALE_MOMENTUM: bool = True
     LOG_LR_CHANGE_THRESHOLD: float = 1.1
     # 0 = off. Global grad-norm clip (not in the reference; needed for
     # from-scratch training where it only ever fine-tuned).
@@ -252,7 +265,7 @@ class TrackingCfg:
     # Keep-alive: frames a track survives unmatched before being killed.
     MAX_AGE: int = 1
     # PCKh distance normalization factor (fraction of box diagonal).
-    PCKH_THRESH: float = 0.5
+    PCKH_THRESH: float = 0.2
     # Optional native (C++) assignment solver; falls back to scipy.
     USE_NATIVE_SOLVER: bool = True
 
@@ -377,11 +390,81 @@ def merge_cfg_from_list(cfg: Config, opts: Sequence[Any]) -> Config:
     return cfg
 
 
+def _alias(cfg: Config, src: str, dst: str) -> Config:
+    """Lineage-name alias: if `src` was changed from its default, copy it
+    into `dst` (error if both were changed to different values)."""
+    def get(dotted, root):
+        for part in dotted.split("."):
+            root = getattr(root, part)
+        return root
+
+    default = Config()
+    s, d = get(src, cfg), get(dst, cfg)
+    s0, d0 = get(src, default), get(dst, default)
+    if s == s0:
+        return cfg
+    if d != d0 and d != s:
+        raise ValueError(f"{src}={s} conflicts with {dst}={d}; set one")
+    return _set_dotted(cfg, dst, s)
+
+
 def assert_and_infer_cfg(cfg: Config) -> Config:
-    """Validate and derive options (reference: assert_and_infer_cfg)."""
+    """Validate and derive options (reference: assert_and_infer_cfg).
+
+    Every config field is either consumed by the code, derived here, or
+    rejected here — no knob is silently ignored.
+    """
+    # Lineage-name aliases (the reference's names for the same options).
+    cfg = _alias(cfg, "TRAIN.SNAPSHOT_ITERS", "TRAIN.CHECKPOINT_PERIOD")
+    cfg = _alias(cfg, "TRAIN.BATCH_SIZE_PER_IM", "FAST_RCNN.BATCH_SIZE_PER_IM")
+    cfg = _alias(cfg, "TEST.RPN_PRE_NMS_TOP_N", "RPN.PRE_NMS_TOP_N_TEST")
+    cfg = _alias(cfg, "TEST.RPN_POST_NMS_TOP_N", "RPN.POST_NMS_TOP_N_TEST")
+
     if cfg.MODEL.CONV_BODY not in ("resnet18", "resnet50", "resnet101"):
         raise ValueError(f"Unknown CONV_BODY {cfg.MODEL.CONV_BODY!r}")
+    if not cfg.MODEL.FREEZE_BN:
+        raise ValueError(
+            "MODEL.FREEZE_BN=False is unsupported: BN is implemented as "
+            "frozen per-channel affine (the reference's AffineChannel); "
+            "there is no batch-stat path")
+    if not cfg.SOLVER.SCALE_MOMENTUM:
+        raise ValueError(
+            "SOLVER.SCALE_MOMENTUM=False is unsupported: the optax SGD "
+            "form is natively momentum-corrected on LR changes")
+    if cfg.SOLVER.TYPE != "sgd":
+        raise ValueError(f"SOLVER.TYPE {cfg.SOLVER.TYPE!r}: only 'sgd' "
+                         "(the reference's optimizer) is implemented")
+    # TRANS_FUNC is derived from the depth (basic for R-18, bottleneck for
+    # R-50/101 — the lineage's per-depth block choice).
+    expected_trans = ("basic" if cfg.MODEL.CONV_BODY == "resnet18"
+                      else "bottleneck")
+    if cfg.RESNETS.TRANS_FUNC != expected_trans:
+        cfg = _set_dotted(cfg, "RESNETS.TRANS_FUNC", expected_trans)
+    for sec, name in ((cfg.FAST_RCNN, "FAST_RCNN"), (cfg.KRCNN, "KRCNN"),
+                      (cfg.MRCNN, "MRCNN")):
+        if sec.ROI_XFORM_METHOD != "RoIAlign":
+            raise ValueError(f"{name}.ROI_XFORM_METHOD must be RoIAlign "
+                             "(RoIPool is not implemented — the reference's "
+                             "PoseTrack configs all use RoIAlign)")
+    if cfg.MODEL.KEYPOINTS_ON:
+        if cfg.KRCNN.ROI_KEYPOINTS_HEAD != "v1convX":
+            raise ValueError("KRCNN.ROI_KEYPOINTS_HEAD: only v1convX")
+        if not cfg.KRCNN.USE_DECONV_OUTPUT:
+            raise ValueError("KRCNN.USE_DECONV_OUTPUT=False unsupported "
+                             "(v1convX always ends deconv → upsample)")
+        if cfg.KRCNN.DECONV_KERNEL != 4:
+            raise ValueError("KRCNN.DECONV_KERNEL must be 4 (stride-2 "
+                             "deconv geometry is kernel-4 pad-1)")
+        expect_hm = 2 * cfg.KRCNN.ROI_XFORM_RESOLUTION * cfg.KRCNN.UP_SCALE
+        if cfg.KRCNN.HEATMAP_SIZE != expect_hm:
+            raise ValueError(
+                f"KRCNN.HEATMAP_SIZE={cfg.KRCNN.HEATMAP_SIZE} inconsistent "
+                f"with 2·ROI_XFORM_RESOLUTION·UP_SCALE={expect_hm}")
     if cfg.VIDEO.VIDEO_ON:
+        if cfg.VIDEO.TIME_STRIDE_ON:
+            raise ValueError(
+                "VIDEO.TIME_STRIDE_ON is unsupported: the paper keeps full "
+                "temporal resolution (no temporal downsampling)")
         if cfg.VIDEO.NUM_FRAMES < 1:
             raise ValueError("VIDEO.NUM_FRAMES must be >= 1")
         if len(cfg.VIDEO.TIME_KERNEL_DIM) != 5:
@@ -390,6 +473,18 @@ def assert_and_infer_cfg(cfg: Config) -> Config:
     else:
         if cfg.VIDEO.NUM_FRAMES != 1:
             raise ValueError("NUM_FRAMES > 1 requires VIDEO.VIDEO_ON")
+    # MULTILEVEL_RPN/ROIS are derived from FPN_ON (the reference's FPN
+    # wiring always uses multi-level RPN + RoI distribution; C4 never does).
+    if cfg.FPN.MULTILEVEL_RPN != cfg.FPN.FPN_ON:
+        cfg = _set_dotted(cfg, "FPN.MULTILEVEL_RPN", cfg.FPN.FPN_ON)
+    if cfg.FPN.MULTILEVEL_ROIS != cfg.FPN.FPN_ON:
+        cfg = _set_dotted(cfg, "FPN.MULTILEVEL_ROIS", cfg.FPN.FPN_ON)
+    if cfg.RESNETS.RES5_DILATION not in (1, 2):
+        raise ValueError("RESNETS.RES5_DILATION must be 1 or 2")
+    if cfg.RESNETS.RES5_DILATION != 1 and cfg.FPN.FPN_ON:
+        raise ValueError("RES5_DILATION changes res5 to stride 16, which "
+                         "breaks the FPN level geometry; use it only with "
+                         "FPN.FPN_ON=False (the lineage's dilated-C5 use)")
     if cfg.FPN.FPN_ON:
         if cfg.FPN.RPN_MIN_LEVEL > cfg.FPN.RPN_MAX_LEVEL:
             raise ValueError("FPN RPN level range is empty")

@@ -68,6 +68,8 @@ def load_clip(
     buckets: Sequence[Tuple[int, int]] = ((256, 320),),
     max_gt: int = 16,
     num_keypoints: int = 15,
+    gt_min_area: float = -1.0,
+    mask_size: int = 0,
 ) -> Dict[str, np.ndarray]:
     """One training/eval example: padded clip + padded GT tubes."""
     import cv2
@@ -82,10 +84,17 @@ def load_clip(
         imgs.append(img)
     h0, w0 = imgs[0].shape[:2]
     scale = choose_scale(h0, w0, scale_target, max_size)
-    sh, sw = int(round(h0 * scale)), int(round(w0 * scale))
     if bucket_hw is None:
+        sh, sw = int(round(h0 * scale)), int(round(w0 * scale))
         bucket_hw = pick_bucket(sh, sw, buckets)
     bh, bw = bucket_hw
+    # Never crop: if the chosen bucket cannot fit the scaled image (e.g. a
+    # portrait video against landscape-only buckets) shrink the scale so it
+    # fits — cropping would leave GT supervision pointing outside the
+    # visible area (advisor finding, round 1).
+    scale = min(scale, bh / max(h0, 1), bw / max(w0, 1))
+    sh, sw = int(round(h0 * scale)), int(round(w0 * scale))
+    sh, sw = min(sh, bh), min(sw, bw)
 
     clip = np.zeros((num_frames, bh, bw, 3), np.float32)
     means = np.asarray(pixel_means, np.float32)
@@ -94,19 +103,42 @@ def load_clip(
         r = cv2.resize(img, (sw, sh), interpolation=cv2.INTER_LINEAR)
         if spec.flipped:
             r = r[:, ::-1]
-        clip[t, :min(sh, bh), :min(sw, bw)] = (
-            (r.astype(np.float32) - means) / stds)[:bh, :bw]
+        clip[t, :sh, :sw] = (r.astype(np.float32) - means) / stds
 
     # --- GT tubes: group per-frame annotations by track id ---
     t_dim = num_frames
     gt_boxes = np.zeros((max_gt, 4 * t_dim), np.float32)
     gt_kps = np.zeros((max_gt, t_dim, num_keypoints, 3), np.float32)
     gt_valid = np.zeros((max_gt,), bool)
+    gt_masks = (np.zeros((max_gt, t_dim, mask_size, mask_size), np.float32)
+                if mask_size else None)
+    gt_mask_valid = np.zeros((max_gt,), bool) if mask_size else None
+
+    def rasterize_mask(segm, box):
+        """Polygon(s) in ORIGINAL image coords → M×M bitmap in the (scaled)
+        GT-box frame (parity: mask_rcnn's polys_to_mask_wrt_box)."""
+        bx1, by1 = box[0], box[1]
+        bw = max(box[2] - box[0], 1.0)
+        bh = max(box[3] - box[1], 1.0)
+        bitmap = np.zeros((mask_size, mask_size), np.uint8)
+        for poly in segm:
+            pts = np.asarray(poly, np.float64).reshape(-1, 2) * scale
+            if spec.flipped:
+                pts[:, 0] = sw - 1 - pts[:, 0]
+            pts[:, 0] = (pts[:, 0] - bx1) / bw * mask_size
+            pts[:, 1] = (pts[:, 1] - by1) / bh * mask_size
+            cv2.fillPoly(bitmap, [np.round(pts).astype(np.int32)], 1)
+        return bitmap.astype(np.float32)
 
     track_rows: Dict[int, int] = {}
     present: Dict[int, np.ndarray] = {}
     for t, fr in enumerate(records):
         for pose in ds.gt_poses(fr):
+            if gt_min_area > 0:
+                bx = pose["box"]
+                area = max(bx[2] - bx[0] + 1, 0) * max(bx[3] - bx[1] + 1, 0)
+                if area * scale * scale < gt_min_area:
+                    continue            # TRAIN.GT_MIN_AREA filter
             tid = pose["track_id"]
             if tid not in track_rows:
                 if len(track_rows) >= max_gt:
@@ -125,6 +157,9 @@ def load_clip(
             gt_boxes[row, 4 * t:4 * t + 4] = box
             gt_kps[row, t] = kps
             present[tid][t] = True
+            if mask_size and pose.get("segmentation"):
+                gt_masks[row, t] = rasterize_mask(pose["segmentation"], box)
+                gt_mask_valid[row] = True
 
     for tid, row in track_rows.items():
         # A tube is valid if the person appears in every frame (tube GT);
@@ -140,9 +175,11 @@ def load_clip(
                         gt_boxes[row, 4 * src:4 * src + 4])
                     gt_kps[row, t] = gt_kps[row, src]
                     gt_kps[row, t, :, 2] = 0          # invisible fill
+                    if mask_size:
+                        gt_masks[row, t] = gt_masks[row, src]
             gt_valid[row] = True
 
-    return {
+    out = {
         "clips": clip,
         "gt_boxes": gt_boxes,
         "gt_keypoints": gt_kps,
@@ -150,6 +187,10 @@ def load_clip(
         "scale": np.float32(scale),
         "image_hw": np.asarray([h0, w0], np.int32),
     }
+    if mask_size:
+        out["gt_masks"] = gt_masks
+        out["gt_mask_valid"] = gt_mask_valid
+    return out
 
 
 class ClipBatcher:
@@ -177,23 +218,98 @@ class ClipBatcher:
             out += [ClipSpec(v, s, flipped=True) for v, s in self.windows]
         return out
 
-    def epoch(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
+    def _bucket_for(self, spec: ClipSpec) -> Tuple[int, int]:
+        cfg = self.cfg
+        fr = self.ds.video_frames(spec.video_id)[spec.start]
+        target = cfg.TRAIN.SCALES[0] if self.train else cfg.TEST.SCALE
+        max_size = cfg.TRAIN.MAX_SIZE if self.train else cfg.TEST.MAX_SIZE
+        scale = choose_scale(fr.height or 1, fr.width or 1, target, max_size)
+        sh = int(round((fr.height or 1) * scale))
+        sw = int(round((fr.width or 1) * scale))
+        return pick_bucket(sh, sw, [tuple(b) for b in
+                                    cfg.TEST.SHAPE_BUCKETS])
+
+    def _batch_plan(self, batch_size: int):
+        """→ [(bucket_hw, [specs])]: whole batches share one shape bucket
+        (TRAIN.ASPECT_GROUPING — the lineage groups portrait/landscape so a
+        batch pads to one blob shape; here a batch compiles to one bucket)."""
+        cfg = self.cfg
         specs = self.specs()
         if self.train:
             self.rng.shuffle(specs)
+        buckets = [tuple(b) for b in cfg.TEST.SHAPE_BUCKETS]
+        batches = []
+        if self.train and cfg.TRAIN.ASPECT_GROUPING and len(buckets) > 1:
+            groups: Dict[Tuple[int, int], List[ClipSpec]] = {}
+            for s in specs:
+                groups.setdefault(self._bucket_for(s), []).append(s)
+            for bucket, ss in groups.items():
+                for i in range(0, len(ss) - batch_size + 1, batch_size):
+                    batches.append((bucket, ss[i:i + batch_size]))
+            self.rng.shuffle(batches)
+        else:
+            bucket = buckets[0]
+            for i in range(0, len(specs) - batch_size + 1, batch_size):
+                batches.append((bucket, specs[i:i + batch_size]))
+        return batches
+
+    def epoch(self, batch_size: int,
+              num_workers: Optional[int] = None
+              ) -> Iterator[Dict[str, np.ndarray]]:
+        """Shuffled epoch of stacked batches; clip decode (cv2) runs on
+        DATA.NUM_WORKERS threads (cv2 releases the GIL), replacing the
+        reference's RoIDataLoader thread pool."""
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.cfg
         target = cfg.TRAIN.SCALES[0] if self.train else cfg.TEST.SCALE
         max_size = cfg.TRAIN.MAX_SIZE if self.train else cfg.TEST.MAX_SIZE
-        bucket = tuple(cfg.TEST.SHAPE_BUCKETS[0])
-        for i in range(0, len(specs) - batch_size + 1, batch_size):
-            items = [load_clip(
-                self.ds, s, self.num_frames, self.stride,
+        workers = num_workers if num_workers is not None else (
+            cfg.DATA.NUM_WORKERS)
+        batches = self._batch_plan(batch_size)
+
+        def load_one(args):
+            bucket, spec = args
+            return load_clip(
+                self.ds, spec, self.num_frames, self.stride,
                 cfg.DATA.PIXEL_MEANS, cfg.DATA.PIXEL_STDS,
                 target, max_size, bucket_hw=bucket,
                 max_gt=cfg.TRAIN.MAX_GT_PER_IM,
-                num_keypoints=cfg.KRCNN.NUM_KEYPOINTS)
-                for s in specs[i:i + batch_size]]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+                num_keypoints=cfg.KRCNN.NUM_KEYPOINTS,
+                gt_min_area=(cfg.TRAIN.GT_MIN_AREA if self.train else -1.0),
+                mask_size=(cfg.MRCNN.RESOLUTION
+                           if cfg.MODEL.MASK_ON and self.train else 0))
+
+        if workers <= 1:
+            for bucket, ss in batches:
+                items = [load_one((bucket, s)) for s in ss]
+                yield {k: np.stack([it[k] for it in items])
+                       for k in items[0]}
+            return
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            pending = []                 # sliding window of batch futures
+            ahead = max(2, cfg.DATA.PREFETCH)
+            batch_iter = iter(batches)
+
+            def submit_next():
+                try:
+                    bucket, ss = next(batch_iter)
+                except StopIteration:
+                    return False
+                pending.append([ex.submit(load_one, (bucket, s))
+                                for s in ss])
+                return True
+
+            for _ in range(ahead):
+                if not submit_next():
+                    break
+            while pending:
+                futs = pending.pop(0)
+                items = [f.result() for f in futs]
+                submit_next()
+                yield {k: np.stack([it[k] for it in items])
+                       for k in items[0]}
 
 
 class DeviceLoader:

@@ -108,6 +108,7 @@ class PosetrackDataset:
                 "track_id": int(ann.get("track_id", -1)),
                 "head_box": (np.asarray(head, np.float32)
                              if head is not None else None),
+                "segmentation": ann.get("segmentation"),
             })
         return out
 
@@ -131,8 +132,12 @@ class PosetrackDataset:
 
     def clip_records(self, video_id: str, start: int, num_frames: int,
                      stride: int = 1) -> List[FrameRecord]:
+        """T records starting at `start`; indices past the end clamp to the
+        last frame (lets windows cover videos shorter than the clip span)."""
         frames = self._videos[video_id]
-        return [frames[start + i * stride] for i in range(num_frames)]
+        last = len(frames) - 1
+        return [frames[min(start + i * stride, last)]
+                for i in range(num_frames)]
 
 
 # Dataset catalog (parity: lib/datasets/dataset_catalog.py): names → paths,

@@ -90,6 +90,12 @@ def generate_synthetic_posetrack(
                     frame[yi:yi + int(ph / 5),
                           xi + int(pw / 4):xi + int(3 * pw / 4)] = 255
                 kps = _skeleton(box)
+                # Ellipse segmentation inscribed in the box (12-gon) so
+                # mask-head training has real (non-rectangle) targets.
+                th = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+                poly = np.stack([
+                    x + pw / 2 + (pw / 2) * np.cos(th),
+                    y + ph / 2 + (ph / 2) * np.sin(th)], axis=1)
                 ann_id += 1
                 annotations.append({
                     "id": ann_id, "image_id": img_id, "category_id": 1,
@@ -100,6 +106,7 @@ def generate_synthetic_posetrack(
                     "area": float(pw * ph),
                     "iscrowd": 0,
                     "num_keypoints": 15,
+                    "segmentation": [poly.reshape(-1).tolist()],
                 })
             if write_images:
                 import cv2

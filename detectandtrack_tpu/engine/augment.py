@@ -14,9 +14,10 @@ host over the padded outputs:
   'hm_avg' approximated at the coordinate level — the reference averages
   heatmaps; coordinate averaging of the two decodes is within quarter-bin).
 
-Multi-scale augmentation falls out of the bucket mechanism (run the other
-scale bucket and union with `merge_flip_detections`'s NMS step) — not yet
-wired into the runner; see STATUS.md.
+Multi-scale augmentation (`TEST.BBOX_AUG_SCALES`) runs each clip once per
+scale through the bucket mechanism; `merge_multiscale_detections` unions
+the passes in original-image coordinates and re-NMS's to the detection
+budget (the reference's `im_detect_bbox_aug` union heuristic).
 """
 
 from __future__ import annotations
@@ -126,6 +127,68 @@ def merge_flip_detections(
         out["keypoints"] = out_kps
     if out_feats is not None:
         out["features"] = out_feats
+    return out
+
+
+def merge_multiscale_detections(
+    singles: List[Dict[str, np.ndarray]],
+    num_frames: int,
+    nms_thresh: float = 0.5,
+    max_out: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Union the per-scale passes of one clip and re-NMS to the budget.
+
+    Parity: the reference's BBOX_AUG 'union' heuristic (`im_detect_bbox_aug`
+    accumulates boxes over scales then one NMS). Inputs are single-clip
+    dicts already in a COMMON coordinate frame (original image coords —
+    each pass divides by its own scale first). Keypoints/features ride the
+    kept detection (KPS_AUG across scales keeps the winning pass's decode).
+    """
+    t = num_frames
+    max_out = max_out or singles[0]["boxes"].shape[0]
+    boxes = np.concatenate([s["boxes"] for s in singles], axis=0)
+    scores = np.concatenate([s["scores"] for s in singles])
+    valid = np.concatenate([s["valid"] for s in singles])
+    kps = (np.concatenate([s["keypoints"] for s in singles], axis=0)
+           if "keypoints" in singles[0] else None)
+    feats = (np.concatenate([s["features"] for s in singles], axis=0)
+             if "features" in singles[0] else None)
+
+    center = boxes.reshape(-1, t, 4)[:, t // 2]
+    masked = np.where(valid, scores, -1.0)
+    keep = [i for i in nms_numpy(center, masked, nms_thresh)
+            if valid[i]][:max_out]
+
+    out = {
+        "boxes": np.zeros((max_out, boxes.shape[1]), boxes.dtype),
+        "scores": np.zeros((max_out,), scores.dtype),
+        "valid": np.zeros((max_out,), bool),
+    }
+    if kps is not None:
+        out["keypoints"] = np.zeros((max_out,) + kps.shape[1:], kps.dtype)
+    if feats is not None:
+        out["features"] = np.zeros((max_out,) + feats.shape[1:],
+                                   feats.dtype)
+    for slot, i in enumerate(keep):
+        out["boxes"][slot] = boxes[i]
+        out["scores"][slot] = scores[i]
+        out["valid"][slot] = True
+        if kps is not None:
+            out["keypoints"][slot] = kps[i]
+        if feats is not None:
+            out["features"][slot] = feats[i]
+    return out
+
+
+def rescale_detections(det: Dict[str, np.ndarray],
+                       scale: float) -> Dict[str, np.ndarray]:
+    """Scaled-image coords → original-image coords (host, one clip)."""
+    out = dict(det)
+    out["boxes"] = det["boxes"] / scale
+    if "keypoints" in det:
+        k = det["keypoints"].copy()
+        k[..., :2] /= scale
+        out["keypoints"] = k
     return out
 
 

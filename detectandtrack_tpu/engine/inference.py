@@ -29,10 +29,15 @@ from ..data.posetrack import PosetrackDataset
 from ..models.detector import GeneralizedRCNN
 
 
-def make_detect_fn(model: GeneralizedRCNN):
-    """Jitted `detect(params, clips) → {boxes, scores, valid, keypoints}`."""
+def make_detect_fn(model: GeneralizedRCNN, mesh=None):
+    """Jitted `detect(params, clips) → {boxes, scores, valid, keypoints}`.
 
-    @jax.jit
+    With a mesh, the clip batch (dim 0) is sharded across the devices and
+    params are replicated — the TPU-native form of the reference's
+    one-subprocess-per-GPU `multi_gpu_test_net_on_dataset` (SURVEY §3.2):
+    no process boundary, no pickle merge; XLA partitions the one program.
+    """
+
     def detect(params, clips):
         out = model.apply(params, clips)
         keep = {"boxes": out["boxes"], "scores": out["scores"],
@@ -41,7 +46,12 @@ def make_detect_fn(model: GeneralizedRCNN):
             keep["keypoints"] = out["keypoints"]
         return keep
 
-    return detect
+    if mesh is None:
+        return jax.jit(detect)
+    from ..parallel.mesh import batch_sharded, replicated
+    return jax.jit(detect,
+                   in_shardings=(replicated(mesh), batch_sharded(mesh)),
+                   out_shardings=batch_sharded(mesh))
 
 
 def clip_slice(det: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
@@ -95,22 +105,40 @@ def run_inference(
     model: GeneralizedRCNN,
     params,
     dataset: PosetrackDataset,
-    batch_size: int = 1,
+    batch_size: Optional[int] = None,
     max_clips: Optional[int] = None,
+    mesh=None,
 ) -> Dict[str, List[Dict[str, np.ndarray]]]:
     """Detect over the whole dataset → per-video per-frame detections.
 
     Clips tile each video (non-overlapping windows) so every frame is
     covered exactly once; the tail of a video shorter than T is covered by
-    a final window aligned to the video end.
+    a final window aligned to the video end, and videos shorter than the
+    clip span get one last-frame-padded window.
+
+    With a mesh, each batch is dim-0-sharded over the local devices
+    (batch_size defaults to the device count) — the in-process form of the
+    reference's subprocess-per-GPU inference sharding;
+    `utils/subprocess_utils.py` remains as the cross-process fallback.
     """
     from ..data.pipeline import choose_scale, pick_bucket
 
+    if batch_size is None:
+        batch_size = mesh.devices.size if mesh is not None else 1
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+        params = replicate(mesh, params)
     t = cfg.VIDEO.NUM_FRAMES if cfg.VIDEO.VIDEO_ON else 1
     stride = cfg.VIDEO.FRAME_STRIDE if cfg.VIDEO.VIDEO_ON else 1
-    detect = make_detect_fn(model)   # one jit; caches one program per bucket
+    detect = make_detect_fn(model, mesh)  # caches one program per bucket
     buckets = [tuple(b) for b in cfg.TEST.SHAPE_BUCKETS]
     use_flip_aug = cfg.TEST.BBOX_AUG_ENABLED or cfg.TEST.KPS_AUG_ENABLED
+    # Multi-scale TTA (BBOX_AUG_SCALES): every clip runs once per scale;
+    # passes are merged (union + NMS) in original-image coordinates.
+    aug_scales = (list(cfg.TEST.BBOX_AUG_SCALES)
+                  if cfg.TEST.BBOX_AUG_ENABLED else [])
+    scale_targets = [cfg.TEST.SCALE] + aug_scales
+    n_passes = len(scale_targets)
 
     # Build the tiling window list (with end-aligned tails).
     work: List[Tuple[str, int]] = []
@@ -118,6 +146,11 @@ def run_inference(
     for vid in dataset.videos():
         n = len(dataset.video_frames(vid))
         if n < span:
+            # Short video: one window padded by repeating the last frame
+            # (clip_records clamps); padded frames are dropped on consume so
+            # every real frame is still evaluated (reference processes all
+            # frames — round-1 silently skipped these videos).
+            work.append((vid, 0))
             continue
         starts = list(range(0, n - span + 1, span))
         if starts[-1] + span < n:
@@ -128,10 +161,23 @@ def run_inference(
         work = work[:max_clips]
 
     results: Dict[str, Dict[int, Dict[str, np.ndarray]]] = {}
+    acc: Dict[Tuple[str, int], List[Dict[str, np.ndarray]]] = {}
 
     pending = []    # (device outputs, flipped outputs|None, metas)
 
+    def emit(vid, start, single):
+        # `single` is in ORIGINAL image coordinates already.
+        frames = detections_to_frames(single, t, 1.0)
+        slot = results.setdefault(vid, {})
+        n_vid = len(dataset.video_frames(vid))
+        for fi, fr in enumerate(frames):
+            if start + fi * stride < n_vid:       # drop padded tail frames
+                slot[start + fi * stride] = fr
+
     def consume(entry):
+        from .augment import (merge_flip_detections,
+                              merge_multiscale_detections,
+                              rescale_detections)
         det, det_f, metas, bucket = entry
         det = jax.tree.map(np.asarray, det)
         if det_f is not None:
@@ -139,14 +185,19 @@ def run_inference(
         for bi, (vid, start, scale) in enumerate(metas):
             single = clip_slice(det, bi)
             if det_f is not None:
-                from .augment import merge_flip_detections
                 single = merge_flip_detections(
                     single, clip_slice(det_f, bi), bucket[1], t,
                     cfg.TEST.NMS)
-            frames = detections_to_frames(single, t, scale)
-            slot = results.setdefault(vid, {})
-            for fi, fr in enumerate(frames):
-                slot[start + fi * stride] = fr
+            single = rescale_detections(single, scale)
+            if n_passes == 1:
+                emit(vid, start, single)
+                continue
+            passes = acc.setdefault((vid, start), [])
+            passes.append(single)
+            if len(passes) == n_passes:
+                emit(vid, start, merge_multiscale_detections(
+                    passes, t, cfg.TEST.NMS))
+                del acc[(vid, start)]
 
     def flush():
         for entry in pending:
@@ -180,19 +231,20 @@ def run_inference(
 
     for vid, start in work:
         first = dataset.video_frames(vid)[start]
-        scale = choose_scale(first.height or 1, first.width or 1,
-                             cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
-        sh = int(round((first.height or 1) * scale))
-        sw = int(round((first.width or 1) * scale))
-        bucket = pick_bucket(sh, sw, buckets)
-        item = load_clip(
-            dataset, ClipSpec(vid, start), t, stride,
-            cfg.DATA.PIXEL_MEANS, cfg.DATA.PIXEL_STDS,
-            cfg.TEST.SCALE, cfg.TEST.MAX_SIZE, bucket_hw=bucket,
-            max_gt=1, num_keypoints=cfg.KRCNN.NUM_KEYPOINTS)
-        queues[bucket].append((vid, start, item))
-        if len(queues[bucket]) == batch_size:
-            submit(bucket)
+        for target in scale_targets:
+            scale = choose_scale(first.height or 1, first.width or 1,
+                                 target, cfg.TEST.MAX_SIZE)
+            sh = int(round((first.height or 1) * scale))
+            sw = int(round((first.width or 1) * scale))
+            bucket = pick_bucket(sh, sw, buckets)
+            item = load_clip(
+                dataset, ClipSpec(vid, start), t, stride,
+                cfg.DATA.PIXEL_MEANS, cfg.DATA.PIXEL_STDS,
+                target, cfg.TEST.MAX_SIZE, bucket_hw=bucket,
+                max_gt=1, num_keypoints=cfg.KRCNN.NUM_KEYPOINTS)
+            queues[bucket].append((vid, start, item))
+            if len(queues[bucket]) == batch_size:
+                submit(bucket)
     for b in buckets:
         submit(b)
     flush()

@@ -78,6 +78,24 @@ def fast_rcnn_losses(
     return cls_loss, box_loss
 
 
+def mask_loss(
+    mask_logits: jnp.ndarray,      # (S, M, M) person-class logits
+    mask_targets: jnp.ndarray,     # (S, M, M) binary
+    weights: jnp.ndarray,          # (S,) fg ∧ has-mask
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Per-pixel sigmoid CE averaged over the pixels of weighted RoIs
+    (parity: mask_rcnn_heads.add_mask_rcnn_losses / SigmoidCrossEntropyLoss
+    normalized by the number of supervised mask pixels)."""
+    logits = mask_logits
+    labels = mask_targets.astype(logits.dtype)
+    ce = (jnp.maximum(logits, 0) - logits * labels
+          + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    w = weights[:, None, None].astype(logits.dtype)
+    denom = jnp.maximum(jnp.sum(w) * logits.shape[1] * logits.shape[2], 1.0)
+    return loss_weight * jnp.sum(ce * w) / denom
+
+
 def keypoint_loss(
     heatmap_logits: jnp.ndarray,   # (S, H, H, K)
     bin_targets: jnp.ndarray,      # (S, K) flat bin index

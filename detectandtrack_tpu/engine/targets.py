@@ -108,6 +108,7 @@ class ProposalTargets(NamedTuple):
     keypoint_targets: jnp.ndarray  # (S, T, K, 3) matched GT keypoints
     is_fg: jnp.ndarray           # (S,) bool
     valid: jnp.ndarray           # (S,) sampled-row validity
+    gt_inds: jnp.ndarray         # (S,) matched GT row (mask/aux targets)
 
 
 def proposal_targets(
@@ -144,7 +145,11 @@ def proposal_targets(
     best_iou = jnp.max(iou, axis=1)
 
     fg = best_iou >= fg_thresh
-    bg = (best_iou < bg_thresh_hi) & (best_iou >= bg_thresh_lo) & pool_valid
+    # Rows whose IoU was masked to -1 (no valid GT in the image) count as
+    # overlap 0 for the background test — the lineage treats GT-free images
+    # as all-background so they still give the classifier training signal.
+    bg_iou = jnp.maximum(best_iou, 0.0)
+    bg = (bg_iou < bg_thresh_hi) & (bg_iou >= bg_thresh_lo) & pool_valid
 
     # The sample count can never exceed the pool (tiny configs/tests).
     batch_size = min(batch_size, p)
@@ -177,7 +182,57 @@ def proposal_targets(
         keypoint_targets=kp_tgt,
         is_fg=is_fg,
         valid=sel_valid,
+        gt_inds=m,
     )
+
+
+def mask_targets(
+    rois: jnp.ndarray,           # (S, 4) per-frame RoI boxes
+    gt_boxes: jnp.ndarray,       # (S, 4) matched GT boxes (same frame)
+    gt_bitmaps: jnp.ndarray,     # (S, M, M) GT masks in the GT-box frame
+    out_size: int,
+) -> jnp.ndarray:
+    """Resample each matched GT bitmap into its RoI's frame → (S, P, P).
+
+    The reference rasterizes the GT polygon directly in the RoI frame
+    (`roi_data/mask_rcnn.polys_to_mask_wrt_box`); here the loader rasterizes
+    once per GT into the GT-box frame and this op bilinearly resamples into
+    each sampled RoI — an in-XLA formulation with the same supervision up to
+    rasterization resolution. Output is binarized at 0.5.
+    """
+    m = gt_bitmaps.shape[-1]
+    p = out_size
+    # RoI-frame pixel centers in image coords.
+    fx = (jnp.arange(p) + 0.5) / p
+    rx = rois[:, 0:1] + fx[None, :] * (rois[:, 2:3] - rois[:, 0:1])  # (S, P)
+    ry = rois[:, 1:2] + fx[None, :] * (rois[:, 3:4] - rois[:, 1:2])
+    # → GT-bitmap coords.
+    gw = jnp.maximum(gt_boxes[:, 2:3] - gt_boxes[:, 0:1], 1.0)
+    gh = jnp.maximum(gt_boxes[:, 3:4] - gt_boxes[:, 1:2], 1.0)
+    u = (rx - gt_boxes[:, 0:1]) / gw * m - 0.5                       # (S, P)
+    v = (ry - gt_boxes[:, 1:2]) / gh * m - 0.5
+
+    def sample_one(bitmap, uu, vv):
+        # Bilinear with zero outside the bitmap.
+        ug, vg = jnp.meshgrid(uu, vv, indexing="xy")                 # (P, P)
+        u0 = jnp.floor(ug)
+        v0 = jnp.floor(vg)
+        du, dv = ug - u0, vg - v0
+
+        def tap(vi, ui, w):
+            inb = (ui >= 0) & (ui < m) & (vi >= 0) & (vi < m)
+            ui_ = jnp.clip(ui, 0, m - 1).astype(jnp.int32)
+            vi_ = jnp.clip(vi, 0, m - 1).astype(jnp.int32)
+            return jnp.where(inb, bitmap[vi_, ui_], 0.0) * w
+
+        out = (tap(v0, u0, (1 - du) * (1 - dv))
+               + tap(v0, u0 + 1, du * (1 - dv))
+               + tap(v0 + 1, u0, (1 - du) * dv)
+               + tap(v0 + 1, u0 + 1, du * dv))
+        return out
+
+    sampled = jax.vmap(sample_one)(gt_bitmaps, u, v)                 # (S,P,P)
+    return (sampled >= 0.5).astype(jnp.float32)
 
 
 def keypoint_heatmap_targets(

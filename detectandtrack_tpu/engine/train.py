@@ -34,9 +34,6 @@ from ..utils.lr_policy import make_schedule
 from . import losses as L
 from . import targets as T
 
-# Keypoint branch runs on the first KP_MAX sampled RoIs (fg-sorted).
-KP_MAX = 64
-
 
 class TrainState(NamedTuple):
     params: Any
@@ -64,7 +61,8 @@ def _anchor_field_all_levels(cfg: Config, maps) -> np.ndarray:
 
 
 def train_forward(module: GeneralizedRCNN, clips, gt_boxes, gt_keypoints,
-                  gt_valid, rng) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                  gt_valid, rng, gt_masks=None, gt_mask_valid=None,
+                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Runs inside module.apply: full training forward → (loss, metrics)."""
     cfg = module.cfg
     t = module.num_frames
@@ -100,6 +98,11 @@ def train_forward(module: GeneralizedRCNN, clips, gt_boxes, gt_keypoints,
     )(logits_all, deltas_all, atgt.labels, atgt.bbox_targets)
     rpn_cls, rpn_box = jnp.mean(rpn_cls), jnp.mean(rpn_box)
 
+    if cfg.MODEL.RPN_ONLY:
+        total = rpn_cls + rpn_box
+        return total, {"loss_rpn_cls": rpn_cls, "loss_rpn_bbox": rpn_box,
+                       "loss_total": total}
+
     # ---- Proposal sampling + box head ----
     def prop_tgt_one(key, props, pv, gtb, gtk, gtv):
         return T.proposal_targets(
@@ -132,30 +135,69 @@ def train_forward(module: GeneralizedRCNN, clips, gt_boxes, gt_keypoints,
     metrics = {"loss_rpn_cls": rpn_cls, "loss_rpn_bbox": rpn_box,
                "loss_cls": cls_loss, "loss_bbox": box_loss}
 
-    # ---- Keypoint head on the first KP_MAX (fg-sorted) RoIs ----
+    # ---- Keypoint head on the first M (fg-sorted) RoIs ----
     if cfg.MODEL.KEYPOINTS_ON:
-        kp = min(KP_MAX, s)
+        kp = min(cfg.KRCNN.TRAIN_MAX_ROIS_PER_IM or s, s)
         kp_rois = ptgt.rois[:, :kp]                    # (B, KP, 4·T)
         kp_fg = ptgt.is_fg[:, :kp]
         kp_gt = ptgt.keypoint_targets[:, :kp]          # (B, KP, T, K, 3)
         kp_pooled = module.roi_transform(
             pyramid, kp_rois, cfg.KRCNN.ROI_XFORM_RESOLUTION,
             cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO)
-        hm_logits = module.kps_head(kp_pooled)         # (B·KP, T, S, S, K)
+        t_kp = t
+        if cfg.VIDEO.VIDEO_ON and not cfg.VIDEO.PREDICT_ALL_FRAMES:
+            # Center-frame-only supervision (paper ablation / BASELINE
+            # config 2): the head trains on the center frame of each tube.
+            kp_pooled = kp_pooled[:, t // 2:t // 2 + 1]
+            kp_rois = kp_rois.reshape(b, kp, t, 4)[:, :, t // 2].reshape(
+                b, kp, 4)
+            kp_gt = kp_gt[:, :, t // 2:t // 2 + 1]
+            t_kp = 1
+        hm_logits = module.kps_head(kp_pooled)         # (B·KP, Tk, S, S, K)
         hs = hm_logits.shape[2]
         n_kp = cfg.KRCNN.NUM_KEYPOINTS
-        per_frame_rois = kp_rois.reshape(b * kp, t, 4).reshape(-1, 4)
-        per_frame_kps = kp_gt.reshape(b * kp, t, n_kp, 3).reshape(
+        per_frame_rois = kp_rois.reshape(b * kp, t_kp, 4).reshape(-1, 4)
+        per_frame_kps = kp_gt.reshape(b * kp, t_kp, n_kp, 3).reshape(
             -1, n_kp, 3)
         bins, w = T.keypoint_heatmap_targets(per_frame_rois, per_frame_kps,
                                              hs)
-        w = w * jnp.repeat(kp_fg.reshape(-1).astype(jnp.float32), t)[:, None]
+        w = w * jnp.repeat(kp_fg.reshape(-1).astype(jnp.float32),
+                           t_kp)[:, None]
         kp_loss = L.keypoint_loss(
             hm_logits.reshape(-1, hs, hs, n_kp), bins, w,
             cfg.KRCNN.NORMALIZE_BY_VISIBLE_KEYPOINTS,
             cfg.KRCNN.LOSS_WEIGHT)
         total = total + kp_loss
         metrics["loss_kps"] = kp_loss
+
+    # ---- Mask head (MODEL.MASK_ON): per-class sigmoid CE on RoI masks ----
+    if cfg.MODEL.MASK_ON and gt_masks is not None:
+        mb = min(cfg.KRCNN.TRAIN_MAX_ROIS_PER_IM or s, s)
+        m_rois = ptgt.rois[:, :mb]                     # (B, MB, 4·T)
+        m_fg = ptgt.is_fg[:, :mb]
+        gi = ptgt.gt_inds[:, :mb]                      # (B, MB)
+        mk_boxes = jnp.take_along_axis(
+            gt_boxes, gi[..., None], axis=1)           # (B, MB, 4·T)
+        mk_masks = jnp.take_along_axis(
+            gt_masks, gi[..., None, None, None], axis=1)  # (B, MB, T, M, M)
+        mk_valid = jnp.take_along_axis(gt_mask_valid, gi, axis=1)
+        m_pooled = module.roi_transform(
+            pyramid, m_rois, cfg.MRCNN.ROI_XFORM_RESOLUTION,
+            cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO)
+        m_logits = module.mask_head(m_pooled)          # (B·MB, T, P, P, C)
+        pm = m_logits.shape[2]
+        mg = mk_masks.shape[-1]
+        tgt_masks = T.mask_targets(
+            m_rois.reshape(-1, t, 4).reshape(-1, 4),
+            mk_boxes.reshape(-1, t, 4).reshape(-1, 4),
+            mk_masks.reshape(-1, mg, mg), pm)          # (B·MB·T, P, P)
+        w_mask = jnp.repeat((m_fg & mk_valid).reshape(-1), t)
+        m_loss = L.mask_loss(
+            m_logits[..., 1].reshape(-1, pm, pm),      # person channel
+            tgt_masks, w_mask.astype(jnp.float32),
+            cfg.MRCNN.WEIGHT_LOSS_MASK)
+        total = total + m_loss
+        metrics["loss_mask"] = m_loss
 
     metrics["loss_total"] = total
     return total, metrics
@@ -166,14 +208,18 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     schedule = make_schedule(cfg.SOLVER)
 
     def decay_mask(params):
-        # No weight decay on biases / affine (frozen-BN) params — the
-        # lineage's WEIGHT_DECAY_BN = 0 behavior.
+        # Weight decay applies to conv/fc kernels; biases and affine
+        # (frozen-BN) params decay at SOLVER.WEIGHT_DECAY_BN instead
+        # (0 in the lineage defaults).
         def mask_fn(path, x):
             names = [getattr(p, "key", "") for p in path]
             if "bn" in names or names[-1:] == ["bias"] or x.ndim <= 1:
                 return False
             return True
         return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+    def bn_decay_mask(params):
+        return jax.tree.map(lambda m: not m, decay_mask(params))
 
     def freeze_mask(params):
         # RESNETS.FREEZE_AT: stages <= N take no updates (lineage freezes
@@ -192,6 +238,9 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     if cfg.SOLVER.WEIGHT_DECAY > 0:
         txs.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY,
                                              mask=decay_mask))
+    if cfg.SOLVER.WEIGHT_DECAY_BN > 0:
+        txs.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY_BN,
+                                             mask=bn_decay_mask))
     txs.append(optax.sgd(learning_rate=schedule,
                          momentum=cfg.SOLVER.MOMENTUM))
     if cfg.RESNETS.FREEZE_AT >= 1:
@@ -224,6 +273,7 @@ def make_train_step(model: GeneralizedRCNN, cfg: Config,
             return model.apply(
                 p, batch["clips"], batch["gt_boxes"],
                 batch["gt_keypoints"], batch["gt_valid"], rng,
+                batch.get("gt_masks"), batch.get("gt_mask_valid"),
                 method=train_forward)
 
         (_, metrics), grads = jax.value_and_grad(
@@ -244,7 +294,13 @@ def make_train_step(model: GeneralizedRCNN, cfg: Config,
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map as _shard_map    # jax >= 0.8
+        def shard_map(f=None, **kw):               # check_rep → check_vma
+            kw["check_vma"] = kw.pop("check_rep", True)
+            return _shard_map(f, **kw) if f else _shard_map(**kw)
+    except ImportError:                            # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     repl = replicated(mesh)
     bsh = batch_sharded(mesh)

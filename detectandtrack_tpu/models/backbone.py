@@ -62,6 +62,7 @@ class Conv3d(nn.Module):
     use_bias: bool = False
     dtype: Any = jnp.float32
     kernel_init: Any = None
+    dilation: Tuple[int, int, int] = (1, 1, 1)
 
     @nn.compact
     def __call__(self, x):
@@ -73,11 +74,16 @@ class Conv3d(nn.Module):
             init,
             (t, kh, kw, x.shape[-1], self.features),
         )
+        # Same-padding for (possibly dilated) kernels: effective size
+        # (k-1)·d + 1 keeps the spatial/temporal extent.
+        pads = [(((k - 1) * d) // 2, ((k - 1) * d + 1) // 2)
+                for k, d in zip(self.kernel, self.dilation)]
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=self.strides,
-            padding=[((k - 1) // 2, k // 2) for k in self.kernel],
+            padding=pads,
+            rhs_dilation=self.dilation,
             dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
         )
         if self.use_bias:
@@ -93,11 +99,12 @@ class ConvAffine(nn.Module):
     kernel: Tuple[int, int, int] = (1, 3, 3)
     strides: Tuple[int, int, int] = (1, 1, 1)
     dtype: Any = jnp.float32
+    dilation: Tuple[int, int, int] = (1, 1, 1)
 
     @nn.compact
     def __call__(self, x):
         x = Conv3d(self.features, self.kernel, self.strides,
-                   dtype=self.dtype, name="conv")(x)
+                   dtype=self.dtype, dilation=self.dilation, name="conv")(x)
         return AffineChannel(self.features, dtype=self.dtype, name="bn")(x)
 
 
@@ -111,6 +118,8 @@ class Bottleneck(nn.Module):
     time_kernel: int = 1
     stride_1x1: bool = True
     dtype: Any = jnp.float32
+    spatial_dilation: int = 1
+    time_dilation: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -119,6 +128,8 @@ class Bottleneck(nn.Module):
         # Temporal kernel lives on the spatial (middle) conv, mirroring the
         # paper's center-conv inflation.
         tk = self.time_kernel
+        dil = (self.time_dilation, self.spatial_dilation,
+               self.spatial_dilation)
         shortcut = x
         if (x.shape[-1] != self.out_features) or self.spatial_stride != 1:
             shortcut = ConvAffine(self.out_features, (1, 1, 1), s,
@@ -127,7 +138,7 @@ class Bottleneck(nn.Module):
                        dtype=self.dtype, name="a")(x)
         y = nn.relu(y)
         y = ConvAffine(self.features, (tk, 3, 3), s2,
-                       dtype=self.dtype, name="b")(y)
+                       dtype=self.dtype, dilation=dil, name="b")(y)
         y = nn.relu(y)
         y = ConvAffine(self.out_features, (1, 1, 1), (1, 1, 1),
                        dtype=self.dtype, name="c")(y)
@@ -143,20 +154,24 @@ class BasicBlock(nn.Module):
     time_kernel: int = 1
     stride_1x1: bool = True             # unused; kept for a uniform signature
     dtype: Any = jnp.float32
+    spatial_dilation: int = 1
+    time_dilation: int = 1
 
     @nn.compact
     def __call__(self, x):
         s = (1, self.spatial_stride, self.spatial_stride)
         tk = self.time_kernel
+        dil = (self.time_dilation, self.spatial_dilation,
+               self.spatial_dilation)
         shortcut = x
         if (x.shape[-1] != self.out_features) or self.spatial_stride != 1:
             shortcut = ConvAffine(self.out_features, (1, 1, 1), s,
                                   dtype=self.dtype, name="proj")(x)
         y = ConvAffine(self.out_features, (tk, 3, 3), s,
-                       dtype=self.dtype, name="a")(x)
+                       dtype=self.dtype, dilation=dil, name="a")(x)
         y = nn.relu(y)
         y = ConvAffine(self.out_features, (tk, 3, 3), (1, 1, 1),
-                       dtype=self.dtype, name="b")(y)
+                       dtype=self.dtype, dilation=dil, name="b")(y)
         return nn.relu(y + shortcut)
 
 
@@ -174,6 +189,13 @@ class ResNet(nn.Module):
     width_per_group: int = 64
     stride_1x1: bool = True
     dtype: Any = jnp.float32
+    # RES5_DILATION: spatial dilation on res5 3x3s; dilation 2 keeps stride
+    # 16 (spatial stride of res5 becomes 1), the lineage's C4/dilated-head
+    # geometry.
+    res5_dilation: int = 1
+    # VIDEO.DILATE_TIME: dilate the temporal kernel of res5 (doubles the
+    # temporal receptive field without extra params).
+    dilate_time: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -195,7 +217,12 @@ class ResNet(nn.Module):
             inner = width * (2 ** stage)
             out = inner * expansion
             tk = self.time_kernels[stage + 1]
+            is_res5 = stage == len(blocks) - 1
+            sdil = self.res5_dilation if is_res5 else 1
+            tdil = 2 if (is_res5 and self.dilate_time and tk > 1) else 1
             stride = 1 if stage == 0 else 2
+            if is_res5 and sdil > 1:
+                stride = 1                # dilated res5 keeps stride 16
             for b in range(n_blocks):
                 y = block_cls(
                     features=inner,
@@ -204,6 +231,8 @@ class ResNet(nn.Module):
                     time_kernel=tk,
                     stride_1x1=self.stride_1x1,
                     dtype=self.dtype,
+                    spatial_dilation=sdil,
+                    time_dilation=tdil,
                     name=f"res{stage + 2}_{b}",
                 )(y)
             feats[f"res{stage + 2}"] = y
@@ -222,4 +251,6 @@ def backbone_from_cfg(cfg) -> ResNet:
         width_per_group=cfg.RESNETS.WIDTH_PER_GROUP,
         stride_1x1=cfg.RESNETS.STRIDE_1X1,
         dtype=dtype,
+        res5_dilation=cfg.RESNETS.RES5_DILATION,
+        dilate_time=cfg.VIDEO.DILATE_TIME if cfg.VIDEO.VIDEO_ON else False,
     )

@@ -56,7 +56,10 @@ class GeneralizedRCNN(nn.Module):
         self.num_frames = t
         self.backbone = backbone_from_cfg(cfg)
         if cfg.FPN.FPN_ON:
-            self.fpn = FPN(dim=cfg.FPN.DIM, dtype=dtype)
+            self.fpn = FPN(dim=cfg.FPN.DIM,
+                           zero_init_lateral=cfg.FPN.ZERO_INIT_LATERAL,
+                           extra_conv_levels=cfg.FPN.EXTRA_CONV_LEVELS,
+                           dtype=dtype)
         self.rpn_head = RPNHead(
             dim=cfg.FPN.DIM if cfg.FPN.FPN_ON else 1024,
             num_anchors=len(cfg.RPN.ASPECT_RATIOS) if cfg.FPN.FPN_ON else
@@ -88,6 +91,7 @@ class GeneralizedRCNN(nn.Module):
                 num_keypoints=cfg.KRCNN.NUM_KEYPOINTS,
                 num_convs=cfg.KRCNN.NUM_STACKED_CONVS,
                 conv_dim=cfg.KRCNN.CONV_HEAD_DIM,
+                conv_kernel=cfg.KRCNN.CONV_HEAD_KERNEL,
                 up_scale=cfg.KRCNN.UP_SCALE,
                 dtype=dtype,
             )
@@ -224,6 +228,23 @@ class GeneralizedRCNN(nn.Module):
             pyramid, image_hw, train=train)
         k = tubes.shape[1]
 
+        if cfg.MODEL.RPN_ONLY:
+            # Proposal-only model (lineage MODEL.RPN_ONLY): detections ARE
+            # the top proposals; no RoI heads run.
+            d_max = min(cfg.TEST.DETECTIONS_PER_IM, k)
+            return {
+                "boxes": tubes[:, :d_max],
+                "scores": jnp.where(p_valid[:, :d_max],
+                                    jax.nn.sigmoid(p_scores[:, :d_max]),
+                                    0.0),
+                "valid": p_valid[:, :d_max],
+                "features": jnp.zeros((b, d_max, 1), jnp.float32),
+                "proposals": tubes,
+                "proposal_scores": p_scores,
+                "proposal_valid": p_valid,
+                "rpn_raw": rpn_raw,
+            }
+
         # --- box head ---
         pooled = self.roi_transform(
             pyramid, tubes, cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
@@ -262,6 +283,24 @@ class GeneralizedRCNN(nn.Module):
 
         det_boxes, det_scores, det_valid, det_idx = jax.vmap(final_nms)(
             refined, scores, p_valid)                   # (B, D, 4T) ...
+
+        if cfg.TEST.BBOX_VOTE_ENABLED:
+            # Box voting (lineage box_results_with_nms_and_limit +
+            # box_voting, TEST.BBOX_VOTE): each kept box becomes the
+            # score-weighted average of all refined boxes overlapping it
+            # (center-frame IoU ≥ VOTE_TH); scoring method ID.
+            thr = cfg.TEST.BBOX_VOTE_THRESH
+            all_centers = refined.reshape(b, k, t, 4)[:, :, t // 2]
+            det_centers = det_boxes.reshape(b, -1, t, 4)[:, :, t // 2]
+            iou = jax.vmap(box_ops.bbox_overlaps)(det_centers, all_centers)
+            w_vote = jnp.where(
+                (iou >= thr) & p_valid[:, None, :],
+                jnp.where(p_valid, scores, 0.0)[:, None, :], 0.0)
+            denom = w_vote.sum(-1, keepdims=True)       # (B, D, 1)
+            voted = jnp.einsum("bdk,bkc->bdc", w_vote, refined)
+            det_boxes = jnp.where(denom > 0, voted / jnp.maximum(denom,
+                                                                 1e-12),
+                                  det_boxes)
 
         # Appearance features of final detections (fc7 of their proposal).
         fc7_b = fc7.reshape(b, k, -1)
@@ -309,6 +348,15 @@ class GeneralizedRCNN(nn.Module):
             kps = heatmaps_to_keypoints(
                 hm_flat.transpose(0, 3, 1, 2), rois_flat)
             kps = kps.reshape(b, m_kp, t_kp, n_kp, 4)
+            if cfg.KRCNN.INFERENCE_MIN_SIZE > 0:
+                # Lineage KRCNN.INFERENCE_MIN_SIZE: detections smaller than
+                # this get no keypoints (scores zeroed).
+                cb = kp_boxes.reshape(b, m_kp, t, 4)[:, :, t // 2]
+                side = jnp.minimum(cb[..., 2] - cb[..., 0],
+                                   cb[..., 3] - cb[..., 1])
+                big = side >= cfg.KRCNN.INFERENCE_MIN_SIZE
+                kps = kps.at[..., 2:].multiply(
+                    big[:, :, None, None, None].astype(kps.dtype))
             if t_kp != t:
                 # Broadcast the center-frame pose to all frames so the
                 # output contract stays (B, D, T, K, 4).

@@ -27,20 +27,29 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class FPN(nn.Module):
-    """{res2..res5} → {p2..p6}; every level has `dim` channels."""
+    """{res2..res5} → {p2..p6}; every level has `dim` channels.
+
+    `extra_conv_levels` swaps the max-pool P6 for a stride-2 3x3 conv on
+    P5 (lineage FPN.EXTRA_CONV_LEVELS, RetinaNet-style);
+    `zero_init_lateral` zero-initializes the lateral 1x1s
+    (FPN.ZERO_INIT_LATERAL) so training starts from the top-down pathway.
+    """
 
     dim: int = 256
     use_p6: bool = True
     zero_init_lateral: bool = False
+    extra_conv_levels: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         names = ["res2", "res3", "res4", "res5"]          # strides 4..32
+        lat_init = (nn.initializers.zeros if self.zero_init_lateral
+                    else None)
         laterals = []
         for n in names:
             laterals.append(Conv3d(self.dim, (1, 1, 1), use_bias=True,
-                                   dtype=self.dtype,
+                                   dtype=self.dtype, kernel_init=lat_init,
                                    name=f"lateral_{n}")(feats[n]))
         # Top-down pathway.
         td = laterals[-1]
@@ -54,6 +63,12 @@ class FPN(nn.Module):
                                dtype=self.dtype,
                                name=f"posthoc_{lvl}")(outs[lvl])
         if self.use_p6:
-            outs["p6"] = nn.max_pool(outs["p5"], (1, 1, 1),
-                                     strides=(1, 2, 2), padding="VALID")
+            if self.extra_conv_levels:
+                outs["p6"] = Conv3d(self.dim, (1, 3, 3),
+                                    strides=(1, 2, 2), use_bias=True,
+                                    dtype=self.dtype,
+                                    name="extra_p6")(outs["p5"])
+            else:
+                outs["p6"] = nn.max_pool(outs["p5"], (1, 1, 1),
+                                         strides=(1, 2, 2), padding="VALID")
         return outs

@@ -67,20 +67,26 @@ class KeypointHead(nn.Module):
     num_keypoints: int = 15
     num_convs: int = 8
     conv_dim: int = 512
+    conv_kernel: int = 3                 # KRCNN.CONV_HEAD_KERNEL
     up_scale: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):
         r, t, p, _, c = roi_feats.shape
+        ck = self.conv_kernel
         x = roi_feats.reshape(r * t, 1, p, p, c)
         for i in range(self.num_convs):
-            x = nn.relu(Conv3d(self.conv_dim, (1, 3, 3), use_bias=True,
+            x = nn.relu(Conv3d(self.conv_dim, (1, ck, ck), use_bias=True,
                                dtype=self.dtype, name=f"conv_fcn{i + 1}")(x))
         x = x[:, 0]                                       # (R·T, P, P, C)
-        # Deconv ×2 (kernel 4, stride 2), then nearest ×2 → 4·P output.
+        # Deconv ×2 (kernel 4, stride 2), then nearest ×2 → 4·P output
+        # (P=14 → 56, the lineage heatmap size). flax ConvTranspose padding
+        # ((2,2),(2,2)) is the Caffe2/torch deconv stride-2 pad-1 geometry
+        # (verified numerically vs torch; kernel must be spatially flipped
+        # when importing Caffe2 weights — see utils/detectron_import.py).
         x = nn.ConvTranspose(self.conv_dim // 2, (4, 4), strides=(2, 2),
-                             padding=((1, 1), (1, 1)), dtype=self.dtype,
+                             padding=((2, 2), (2, 2)), dtype=self.dtype,
                              name="kps_deconv")(x)
         x = nn.relu(x)
         logits = nn.Conv(self.num_keypoints, (1, 1), dtype=jnp.float32,

@@ -140,7 +140,10 @@ class PosetrackEvaluator:
                         self._dist_sum[jo] += d[jo] / max(hs, 1e-6)
                         self._dist_cnt[jo] += 1
                     else:
+                        # poseval counts BOTH: the GT joint is missed (FN)
+                        # and the predicted joint location is a FP.
                         self._fn[jo] += 1
+                        self._fp[jo] += 1
                 elif not vis[jo]:
                     # predicted joint against invisible GT joint: FP
                     self._fp[jo] += 1

@@ -55,14 +55,16 @@ def _load() -> Optional[ctypes.CDLL]:
 
 
 def solve_assignment(cost: np.ndarray,
-                     forbidden: float = _BIG) -> List[Tuple[int, int]]:
+                     forbidden: float = _BIG,
+                     use_native: bool = True) -> List[Tuple[int, int]]:
     """Min-cost matching → [(row, col), ...]; entries >= forbidden never
-    match. Native solver, scipy fallback."""
+    match. Native solver (unless use_native=False —
+    TRACKING.USE_NATIVE_SOLVER), scipy fallback."""
     cost = np.ascontiguousarray(cost, np.float64)
     n, m = cost.shape
     if n == 0 or m == 0:
         return []
-    lib = _load()
+    lib = _load() if use_native else None
     if lib is not None:
         out = np.full(n, -1, np.int32)
         lib.solve_assignment_f64(

@@ -49,12 +49,14 @@ def bbox_iou_cost(prev_boxes: np.ndarray, cur_boxes: np.ndarray) -> np.ndarray:
 
 
 def pckh_cost(prev_kps: np.ndarray, prev_boxes: np.ndarray,
-              cur_kps: np.ndarray) -> np.ndarray:
+              cur_kps: np.ndarray,
+              pckh_thresh: float = 0.2) -> np.ndarray:
     """Pose distance: 1 - fraction of keypoints within a head-scaled radius.
 
     prev/cur_kps: (N, K, >=2). Normalization uses the previous box diagonal
     (PCKh-style; the reference normalizes by head segment length — box
     diagonal is the available proxy when head annotations are absent).
+    `pckh_thresh` (TRACKING.PCKH_THRESH) is the fraction of the diagonal.
     """
     p, c = len(prev_kps), len(cur_kps)
     if p == 0 or c == 0:
@@ -62,7 +64,7 @@ def pckh_cost(prev_kps: np.ndarray, prev_boxes: np.ndarray,
     diag = np.sqrt(
         (prev_boxes[:, 2] - prev_boxes[:, 0]) ** 2
         + (prev_boxes[:, 3] - prev_boxes[:, 1]) ** 2)
-    thresh = 0.2 * np.maximum(diag, 1.0)
+    thresh = pckh_thresh * np.maximum(diag, 1.0)
     d = np.linalg.norm(prev_kps[:, None, :, :2] - cur_kps[None, :, :, :2],
                        axis=-1)                                  # (P, C, K)
     match = (d <= thresh[:, None, None]).mean(axis=-1)
@@ -85,10 +87,12 @@ def cosine_cost(prev_feats: np.ndarray, cur_feats: np.ndarray) -> np.ndarray:
 # Assignment solvers
 # ---------------------------------------------------------------------------
 
-def hungarian_assign(cost: np.ndarray) -> List[Tuple[int, int]]:
-    """Minimum-cost bipartite matching. Native C++ solver when available."""
+def hungarian_assign(cost: np.ndarray,
+                     use_native: bool = True) -> List[Tuple[int, int]]:
+    """Minimum-cost bipartite matching. Native C++ solver when available
+    and enabled (TRACKING.USE_NATIVE_SOLVER); scipy otherwise."""
     from .native import solve_assignment       # lazy: builds on first use
-    return solve_assignment(cost)
+    return solve_assignment(cost, use_native=use_native)
 
 
 def greedy_assign(cost: np.ndarray) -> List[Tuple[int, int]]:
@@ -124,6 +128,8 @@ class TrackerConfig:
     score_thresh: float = 0.5                 # CONF_FILTER_INITIAL_DETS
     max_cost: float = 0.9                     # no link above this
     max_age: int = 1                          # keep-alive frames
+    pckh_thresh: float = 0.2                  # TRACKING.PCKH_THRESH
+    use_native: bool = True                   # TRACKING.USE_NATIVE_SOLVER
 
 
 class Tracker:
@@ -142,6 +148,8 @@ class Tracker:
             score_thresh=cfg.TRACKING.CONF_FILTER_INITIAL_DETS,
             max_cost=cfg.TRACKING.MAX_COST,
             max_age=cfg.TRACKING.MAX_AGE,
+            pckh_thresh=cfg.TRACKING.PCKH_THRESH,
+            use_native=cfg.TRACKING.USE_NATIVE_SOLVER,
         ))
 
     def reset(self):
@@ -157,7 +165,8 @@ class Tracker:
             if keypoints is None:
                 raise ValueError("pose-pckh metric needs keypoints")
             prev_kps = np.array([t.keypoints for t in self.tracks])
-            return pckh_cost(prev_kps, prev_boxes, keypoints)
+            return pckh_cost(prev_kps, prev_boxes, keypoints,
+                             self.config.pckh_thresh)
         if metric == "cnn-cosine":
             if features is None:
                 raise ValueError("cnn-cosine metric needs features")
@@ -192,8 +201,8 @@ class Tracker:
         if self.tracks and len(boxes_f):
             cost = self._cost(boxes_f, kps_f, feats_f)
             gated = np.where(cost <= cfg.max_cost, cost, _HIGH_COST)
-            pairs = (hungarian_assign(gated) if cfg.algo == "hungarian"
-                     else greedy_assign(gated))
+            pairs = (hungarian_assign(gated, cfg.use_native)
+                     if cfg.algo == "hungarian" else greedy_assign(gated))
             for ti, di in pairs:
                 if gated[ti, di] >= _HIGH_COST / 2:
                     continue

@@ -66,6 +66,54 @@ def test_run_inference_covers_every_frame(tmp_path):
             assert fr["keypoints"].shape == (4, 15, 3)
 
 
+@pytest.mark.slow
+def test_run_inference_covers_short_videos(tmp_path):
+    """A video shorter than the clip span still gets every frame evaluated
+    (the window pads by repeating the last frame; padded frames dropped)."""
+    json_path = generate_synthetic_posetrack(
+        str(tmp_path), num_videos=1, frames_per_video=3,
+        image_hw=(64, 96), people_per_video=1, seed=3)
+    ds = PosetrackDataset(json_path, str(tmp_path))
+    # T=8, stride 1 → span 8 > 3 frames.
+    cfg = load_cfg(opts=TINY + ["VIDEO.VIDEO_ON", True,
+                                "VIDEO.NUM_FRAMES", 8])
+    model = build_model(cfg)
+    clip = jnp.zeros((1, 8, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+    dets = run_inference(cfg, model, params, ds)
+    assert set(dets) == {"video_0000"}
+    assert len(dets["video_0000"]) == 3          # all 3 real frames, no pad
+
+
+@pytest.mark.slow
+def test_run_inference_sharded_matches_single(tmp_path):
+    """Mesh-sharded inference (8 virtual devices) returns the same
+    detections as the single-device path."""
+    from detectandtrack_tpu.parallel.mesh import make_mesh
+
+    json_path = generate_synthetic_posetrack(
+        str(tmp_path), num_videos=2, frames_per_video=8,
+        image_hw=(64, 96), people_per_video=1, seed=5)
+    ds = PosetrackDataset(json_path, str(tmp_path))
+    cfg = load_cfg(opts=TINY + ["VIDEO.VIDEO_ON", True,
+                                "VIDEO.NUM_FRAMES", 2])
+    model = build_model(cfg)
+    clip = jnp.zeros((1, 2, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+
+    single = run_inference(cfg, model, params, ds)
+    mesh = make_mesh(8)
+    sharded = run_inference(cfg, model, params, ds, mesh=mesh)
+    assert set(single) == set(sharded)
+    for vid in single:
+        assert len(single[vid]) == len(sharded[vid])
+        for fa, fb in zip(single[vid], sharded[vid]):
+            np.testing.assert_allclose(fa["boxes"], fb["boxes"],
+                                       atol=1e-4, rtol=1e-4)
+            np.testing.assert_allclose(fa["scores"], fb["scores"],
+                                       atol=1e-5, rtol=1e-4)
+
+
 def test_fixed_shapes_no_recompile():
     """The fixed-shape contract: repeated calls with the same bucket reuse
     one compiled program."""

@@ -73,3 +73,38 @@ def test_oks_perfect_match():
     far = pred + 1000
     oks2 = K.compute_oks(far, gt, np.array([100.0]))
     assert oks2[0, 0] < 1e-3
+
+
+def test_quadratic_decode_tracks_cubic_resize_oracle():
+    """The reference decodes by cv2.INTER_CUBIC-resizing the heatmap to RoI
+    size then argmaxing; the in-graph quadratic sub-bin refinement must
+    land close to that (and much closer than a bare-argmax decode)."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    hh = 14
+    roi = np.array([0.0, 0.0, 112.0, 112.0])   # 8 px per bin
+    errs_quad, errs_argmax = [], []
+    for trial in range(20):
+        # Smooth blob with an off-grid peak.
+        cy, cx = rng.uniform(3, hh - 4, 2)
+        yy, xx = np.mgrid[0:hh, 0:hh]
+        hm = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 4.0)
+        hm = hm[None, None].astype(np.float32)
+
+        dec = K.heatmaps_to_keypoints_numpy(hm, roi[None])
+        # cv2 cubic oracle (the lineage's decode).
+        big = cv2.resize(hm[0, 0], (112, 112),
+                         interpolation=cv2.INTER_CUBIC)
+        idx = int(np.argmax(big))
+        oy, ox = divmod(idx, 112)
+        ox_img = (ox + 0.5)
+        oy_img = (oy + 0.5)
+        errs_quad.append(np.hypot(dec[0, 0, 0] - ox_img,
+                                  dec[0, 0, 1] - oy_img))
+        # Bare argmax decode (bin center only).
+        by, bx = np.unravel_index(np.argmax(hm[0, 0]), (hh, hh))
+        errs_argmax.append(np.hypot((bx + 0.5) * 8 - ox_img,
+                                    (by + 0.5) * 8 - oy_img))
+    assert np.mean(errs_quad) < 0.5 * np.mean(errs_argmax)
+    assert np.mean(errs_quad) < 2.0   # within 2px of the cubic oracle @8px/bin

@@ -1,0 +1,202 @@
+"""Multi-device correctness of the data-parallel train step.
+
+SURVEY.md §4 "distributed tests without hardware": the suite runs on 8
+virtual CPU devices (conftest forces the platform), so the mesh/shard_map/
+pmean path — the TPU-native replacement for the reference's NCCL allreduce
+(`caffe2.python.data_parallel_model`, SURVEY §2.3) — is exercised in CI.
+
+The reference check is a *serial emulation* of the sharded step: per-shard
+gradients computed one at a time with the exact per-shard RNG derivation
+(fold_in(fold_in(base, step), shard_idx)), hand-averaged, then one optimizer
+update. The mesh step must match it numerically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from detectandtrack_tpu.core.config import load_cfg
+from detectandtrack_tpu.engine.train import (create_train_state,
+                                             make_optimizer, make_train_step,
+                                             train_forward)
+from detectandtrack_tpu.models.detector import build_model
+from detectandtrack_tpu.parallel.mesh import (DATA_AXIS, batch_sharded,
+                                              make_mesh, replicate,
+                                              shard_batch)
+
+N_DEV = 8
+
+
+def _tiny_cfg():
+    return load_cfg(opts=[
+        "MODEL.CONV_BODY", "resnet18",
+        "MODEL.COMPUTE_DTYPE", "float32",
+        "VIDEO.VIDEO_ON", True,
+        "VIDEO.NUM_FRAMES", 2,
+        "VIDEO.TIME_KERNEL_DIM", "[3, 1, 1, 1, 1]",
+        "RPN.PRE_NMS_TOP_N_TRAIN", 64,
+        "RPN.POST_NMS_TOP_N_TRAIN", 16,
+        "RPN.BATCH_SIZE_PER_IM", 32,
+        "FAST_RCNN.BATCH_SIZE_PER_IM", 16,
+        "KRCNN.NUM_STACKED_CONVS", 2,
+        "KRCNN.CONV_HEAD_DIM", 32,
+        "TRAIN.MAX_GT_PER_IM", 2,
+        "TEST.DETECTIONS_PER_IM", 4,
+        "SOLVER.WARM_UP_ITERS", 0,
+        "SOLVER.BASE_LR", 0.01,
+    ])
+
+
+def _make_batch(b, t, k, seed=0, identical=False):
+    rng = np.random.default_rng(seed)
+    g = 2
+    if identical:
+        clips = np.tile(rng.normal(size=(1, t, 64, 64, 3)), (b, 1, 1, 1, 1))
+        gtb = np.tile(rng.uniform(5, 30, size=(1, g, 4 * t)), (b, 1, 1))
+        gtk = np.tile(rng.uniform(5, 55, size=(1, g, t, k, 3)), (b, 1, 1, 1, 1))
+    else:
+        clips = rng.normal(size=(b, t, 64, 64, 3))
+        gtb = rng.uniform(5, 30, size=(b, g, 4 * t))
+        gtk = rng.uniform(5, 55, size=(b, g, t, k, 3))
+    gtb = gtb.astype(np.float32)
+    for f in range(t):
+        gtb[..., 4 * f + 2:4 * f + 4] = gtb[..., 4 * f:4 * f + 2] + 20.0
+    gtk = gtk.astype(np.float32)
+    gtk[..., 2] = 2.0
+    return {
+        "clips": jnp.asarray(clips, jnp.float32),
+        "gt_boxes": jnp.asarray(gtb),
+        "gt_keypoints": jnp.asarray(gtk),
+        "gt_valid": jnp.ones((b, g), bool),
+    }
+
+
+@pytest.fixture(scope="module")
+def env():
+    cfg = _tiny_cfg()
+    model = build_model(cfg)
+    t, k = 2, cfg.KRCNN.NUM_KEYPOINTS
+    batch = _make_batch(N_DEV, t, k)
+    params = model.init(jax.random.PRNGKey(0), batch["clips"][:1])
+    mesh = make_mesh(N_DEV)
+
+    @jax.jit
+    def shard_grads(params, shard, rng):
+        def loss_fn(p):
+            return model.apply(p, shard["clips"], shard["gt_boxes"],
+                               shard["gt_keypoints"], shard["gt_valid"],
+                               rng, method=train_forward)
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return grads, metrics
+
+    # One jitted mesh step shared by every test (compiles once).
+    step_fn = make_train_step(model, cfg, mesh, donate=False)
+    return dict(cfg=cfg, model=model, batch=batch, params=params,
+                mesh=mesh, shard_grads=shard_grads, step_fn=step_fn,
+                t=t, k=k)
+
+
+def _serial_step(env_, batch, step=0, decorrelate=True):
+    """Serial emulation of the mesh step: per-shard grads → mean → update."""
+    cfg, params = env_["cfg"], env_["params"]
+    base = jax.random.PRNGKey(cfg.RNG_SEED)
+    per_shard = []
+    per_metrics = []
+    for i in range(N_DEV):
+        shard = jax.tree.map(lambda x: x[i:i + 1], batch)
+        rng = jax.random.fold_in(jax.random.fold_in(base, step),
+                                 i if decorrelate else 0)
+        g, m = env_["shard_grads"](params, shard, rng)
+        per_shard.append(g)
+        per_metrics.append(m)
+    grads = jax.tree.map(lambda *xs: sum(xs) / N_DEV, *per_shard)
+    metrics = jax.tree.map(lambda *xs: sum(xs) / N_DEV, *per_metrics)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, params)
+    updates, _ = tx.update(grads, state.opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    return new_params, metrics, per_shard
+
+
+def _mesh_step(env_, batch):
+    cfg, mesh = env_["cfg"], env_["mesh"]
+    state = replicate(mesh, create_train_state(cfg, env_["params"]))
+    return env_["step_fn"](state, shard_batch(mesh, batch))
+
+
+def _tree_allclose(a, b, atol=2e-5, rtol=2e-5):
+    flat_a = jax.tree.leaves(a)
+    flat_b = jax.tree.leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa, np.float64),
+                                   np.asarray(xb, np.float64),
+                                   atol=atol, rtol=rtol)
+
+
+def test_sharded_step_matches_serial_reference(env):
+    """The shard_map/pmean step == hand-rolled per-shard grads + mean."""
+    new_state, mesh_metrics = _mesh_step(env, env["batch"])
+    ref_params, ref_metrics, _ = _serial_step(env, env["batch"])
+    _tree_allclose(new_state.params, ref_params)
+    _tree_allclose(mesh_metrics, ref_metrics, atol=1e-4, rtol=1e-4)
+    assert int(new_state.step) == 1
+
+
+def test_two_step_run_is_deterministic(env):
+    """Same init + same batches → bitwise-identical params after 2 steps."""
+    cfg, mesh, step_fn = env["cfg"], env["mesh"], env["step_fn"]
+    b2 = _make_batch(N_DEV, env["t"], env["k"], seed=7)
+
+    def run():
+        state = replicate(mesh, create_train_state(cfg, env["params"]))
+        state, _ = step_fn(state, shard_batch(mesh, env["batch"]))
+        state, m = step_fn(state, shard_batch(mesh, b2))
+        return state, m
+
+    s1, m1 = run()
+    s2, m2 = run()
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(m1["loss_total"]), np.asarray(m2["loss_total"]))
+
+
+def test_per_shard_rng_is_decorrelated(env):
+    """Identical data on every shard must still sample targets differently
+    per shard (rng folds in the shard index) — and the mesh step must match
+    the decorrelated serial emulation, not the correlated one."""
+    batch = _make_batch(N_DEV, env["t"], env["k"], seed=3, identical=True)
+    new_state, _ = _mesh_step(env, batch)
+    ref_params, _, per_shard = _serial_step(env, batch, decorrelate=True)
+    _tree_allclose(new_state.params, ref_params)
+
+    # Decorrelation evidence: some per-shard gradient differs across shards
+    # despite identical inputs (RoI/anchor sampling used different keys).
+    diffs = 0.0
+    for ga, gb in zip(jax.tree.leaves(per_shard[0]),
+                      jax.tree.leaves(per_shard[1])):
+        diffs += float(np.abs(np.asarray(ga) - np.asarray(gb)).sum())
+    assert diffs > 0.0
+
+    # And the correlated emulation disagrees with the mesh result (guards
+    # against silently using the same key on every shard).
+    corr_params, _, _ = _serial_step(env, batch, decorrelate=False)
+    any_diff = any(
+        not np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        for a, b in zip(jax.tree.leaves(new_state.params),
+                        jax.tree.leaves(corr_params)))
+    assert any_diff
+
+
+def test_shard_batch_places_dim0_across_devices(env):
+    mesh, batch = env["mesh"], env["batch"]
+    sharded = shard_batch(mesh, batch)
+    clips = sharded["clips"]
+    assert len(clips.sharding.device_set) == N_DEV
+    # Each device holds exactly one batch row.
+    for s in clips.addressable_shards:
+        assert s.data.shape[0] == 1

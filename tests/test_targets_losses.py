@@ -127,3 +127,54 @@ def test_fast_rcnn_losses_class_selection():
     assert float(cls_l) < 1e-3
     # smooth_l1(1,0)=0.5 * 4 coords / 2 valid rows = 1.0
     np.testing.assert_allclose(float(box_l), 1.0, rtol=1e-5)
+
+
+def test_proposal_targets_no_gt_samples_background():
+    """ADVICE r1: an image with no valid GT must still yield background
+    RoIs (the lineage treats max_overlaps=0 as background)."""
+    props = jnp.asarray([[0.0, 0.0, 10.0, 10.0],
+                         [40.0, 40.0, 60.0, 60.0],
+                         [20.0, 20.0, 30.0, 30.0]])
+    gt = jnp.zeros((1, 4))
+    gtk = jnp.zeros((1, 1, 15, 3))
+    tgt = T.proposal_targets(
+        jax.random.PRNGKey(0), props, jnp.ones(3, bool), gt, gtk,
+        jnp.asarray([False]), num_frames=1, batch_size=4, fg_fraction=0.25)
+    assert np.asarray(tgt.valid).sum() > 0
+    assert np.asarray(tgt.is_fg).sum() == 0
+    assert (np.asarray(tgt.labels)[np.asarray(tgt.valid)] == 0).all()
+
+
+def test_mask_targets_identity_and_shift():
+    """RoI == GT box reproduces the bitmap; a half-shifted RoI samples the
+    right half plus zero padding outside the GT box."""
+    m = 8
+    bitmap = jnp.zeros((1, m, m)).at[0, :, :4].set(1.0)   # left half on
+    gt_box = jnp.asarray([[10.0, 10.0, 26.0, 26.0]])      # 16×16
+    # Identity: same box, output at the same resolution.
+    out = T.mask_targets(gt_box, gt_box, bitmap, m)
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(bitmap)[0])
+    # RoI = right half of the GT box → all zeros (right half is off).
+    roi = jnp.asarray([[18.0, 10.0, 26.0, 26.0]])
+    out = T.mask_targets(roi, gt_box, bitmap, m)
+    assert np.asarray(out).sum() == 0
+    # RoI = left half → all ones.
+    roi = jnp.asarray([[10.0, 10.0, 18.0, 26.0]])
+    out = T.mask_targets(roi, gt_box, bitmap, m)
+    np.testing.assert_allclose(np.asarray(out)[0], 1.0)
+    # RoI extending beyond the GT box: outside samples are zero.
+    roi = jnp.asarray([[2.0, 10.0, 18.0, 26.0]])          # half outside
+    out = T.mask_targets(roi, gt_box, bitmap, m)
+    assert np.asarray(out)[0, :, :m // 2].sum() == 0      # left half pad
+    np.testing.assert_allclose(np.asarray(out)[0, :, m // 2:], 1.0)
+
+
+def test_mask_loss_perfect_and_weighting():
+    logits = jnp.full((2, 4, 4), 20.0)        # confident "on"
+    targets = jnp.ones((2, 4, 4))
+    w = jnp.asarray([1.0, 1.0])
+    assert float(L.mask_loss(logits, targets, w)) < 1e-6
+    # Wrong prediction on a zero-weight row contributes nothing.
+    bad = logits.at[1].set(-20.0)
+    assert float(L.mask_loss(bad, targets, jnp.asarray([1.0, 0.0]))) < 1e-6
+    assert float(L.mask_loss(bad, targets, w)) > 1.0
