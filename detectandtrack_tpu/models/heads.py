@@ -58,10 +58,18 @@ class BoxHead2MLP(nn.Module):
 
 
 class KeypointHead(nn.Module):
-    """v1convX: N stacked convs → deconv ×2 → nearest ×2 → K heatmaps.
+    """v1convX: N stacked convs → deconv ×2 → K heatmap logits at 2·P.
 
     Input (R, T, P, P, C); T folds into the RoI batch so each frame gets its
-    own per-joint heatmaps → (R, T, heatmap, heatmap, K).
+    own per-joint heatmaps → (R, T, 2P, 2P, K).
+
+    The reference follows the deconv with a nearest ×UP_SCALE upsample to
+    HEATMAP_SIZE (its custom `UpsampleNearest` op). Nearest-repeat adds NO
+    information — argmax/softmax-CE over the repeated grid are algebraically
+    identical to the 2P grid (CE differs by a log(UP_SCALE²) constant with
+    zero gradient) — so the upsample is folded away: decode and loss run on
+    the 2P logits directly, saving UP_SCALE²× of HBM traffic on the
+    (R·T, S, S, K) tensors. `up_scale` is kept for config parity.
     """
 
     num_keypoints: int = 15
@@ -92,10 +100,8 @@ class KeypointHead(nn.Module):
         logits = nn.Conv(self.num_keypoints, (1, 1), dtype=jnp.float32,
                          kernel_init=nn.initializers.normal(0.001),
                          name="kps_score")(x.astype(jnp.float32))
-        hm = logits.repeat(self.up_scale, axis=1).repeat(self.up_scale,
-                                                         axis=2)
-        size = hm.shape[1]
-        return hm.reshape(r, t, size, size, self.num_keypoints)
+        size = logits.shape[1]
+        return logits.reshape(r, t, size, size, self.num_keypoints)
 
 
 class MaskHead(nn.Module):

@@ -83,3 +83,50 @@ def test_cfg_to_dict_roundtrip():
     d = cfg_to_dict(Config())
     assert d["MODEL"]["CONV_BODY"] == "resnet50"
     assert d["RPN"]["SIZES"] == [32, 64, 128, 256, 512]
+
+
+def test_lineage_alias_snapshot_iters():
+    from detectandtrack_tpu.core.config import load_cfg
+    cfg = load_cfg(opts=["TRAIN.SNAPSHOT_ITERS", 777])
+    assert cfg.TRAIN.CHECKPOINT_PERIOD == 777
+
+
+def test_lineage_alias_test_rpn_topn():
+    from detectandtrack_tpu.core.config import load_cfg
+    cfg = load_cfg(opts=["TEST.RPN_PRE_NMS_TOP_N", 123,
+                         "TEST.RPN_POST_NMS_TOP_N", 45])
+    assert cfg.RPN.PRE_NMS_TOP_N_TEST == 123
+    assert cfg.RPN.POST_NMS_TOP_N_TEST == 45
+
+
+def test_alias_conflict_raises():
+    import pytest
+    from detectandtrack_tpu.core.config import load_cfg
+    with pytest.raises(ValueError):
+        load_cfg(opts=["TRAIN.SNAPSHOT_ITERS", 777,
+                       "TRAIN.CHECKPOINT_PERIOD", 888])
+
+
+def test_unsupported_combos_fail_loudly():
+    import pytest
+    from detectandtrack_tpu.core.config import load_cfg
+    for opts in (
+        ["MODEL.FREEZE_BN", False],
+        ["SOLVER.SCALE_MOMENTUM", False],
+        ["SOLVER.TYPE", "adam"],
+        ["VIDEO.VIDEO_ON", True, "VIDEO.NUM_FRAMES", 2,
+         "VIDEO.TIME_STRIDE_ON", True],
+        ["KRCNN.USE_DECONV_OUTPUT", False],
+        ["KRCNN.HEATMAP_SIZE", 48],
+        ["FAST_RCNN.ROI_XFORM_METHOD", "RoIPool"],
+        ["RESNETS.RES5_DILATION", 2],     # with FPN on
+    ):
+        with pytest.raises(ValueError):
+            load_cfg(opts=opts)
+
+
+def test_trans_func_derived_from_depth():
+    from detectandtrack_tpu.core.config import load_cfg
+    assert load_cfg(opts=["MODEL.CONV_BODY", "resnet18"]
+                    ).RESNETS.TRANS_FUNC == "basic"
+    assert load_cfg().RESNETS.TRANS_FUNC == "bottleneck"
