@@ -29,7 +29,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="DetectAndTrack-TPU launcher")
     p.add_argument("--cfg", default=None, help="experiment YAML")
     p.add_argument("--mode", required=True,
-                   choices=["train", "test", "track", "bench", "demo-data"])
+                   choices=["train", "test", "track", "bench", "demo-data",
+                            "import-weights"])
     p.add_argument("--weights", default=None,
                    help="npz weights (overrides cfg TRAIN/TEST.WEIGHTS)")
     p.add_argument("--detections", default=None,
@@ -37,6 +38,14 @@ def parse_args(argv=None):
     p.add_argument("--out", default=None, help="output dir override")
     p.add_argument("--max-clips", type=int, default=None,
                    help="limit inference clips (debug)")
+    p.add_argument("--video-range", default=None,
+                   help="START:END video slice for sharded inference")
+    p.add_argument("--det-out", default=None,
+                   help="detections pickle path override (test mode)")
+    p.add_argument("--subprocess-shards", type=int, default=0,
+                   help="fan dataset inference out over N subprocesses "
+                        "(reference multi_gpu_test_net_on_dataset parity; "
+                        "prefer the default in-process mesh sharding)")
     p.add_argument("--vis", action="store_true",
                    help="write annotated frames (track mode)")
     p.add_argument("opts", nargs="*",
@@ -184,6 +193,33 @@ def mode_test(args, cfg):
     logger = setup_logging()
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
     ds = _dataset(cfg, cfg.TEST.DATASETS or cfg.TRAIN.DATASETS)
+    out = args.det_out or os.path.join(cfg.OUTPUT_DIR, "detections.pkl")
+
+    if args.subprocess_shards and args.subprocess_shards > 1:
+        # Cross-process fan-out (parity: test_engine.
+        # multi_gpu_test_net_on_dataset + utils/subprocess.py): each child
+        # handles a disjoint video range; merge = dict union.
+        from ..utils.subprocess_utils import process_in_parallel
+        n_videos = len(ds.videos())
+        cmd = [sys.executable, "-m", "detectandtrack_tpu.cli.launch",
+               "--mode", "test", "--cfg", args.cfg,
+               "--video-range", "{start}:{end}", "--det-out", "{out}",
+               "--out", cfg.OUTPUT_DIR]
+        if args.weights:
+            cmd += ["--weights", args.weights]
+        cmd += list(args.opts)
+        shard_paths = process_in_parallel(
+            "detections", n_videos, cmd, cfg.OUTPUT_DIR,
+            num_workers=args.subprocess_shards)
+        dets = {}
+        for p in shard_paths:
+            with open(p, "rb") as f:
+                dets.update(pickle.load(f))
+        with open(out, "wb") as f:
+            pickle.dump(dets, f)
+        logger.info("merged %d shards -> %s", len(shard_paths), out)
+        return out
+
     model, params = _init_model(cfg, args.weights or cfg.TEST.WEIGHTS
                                 or None, cfg.RNG_SEED)
     # Shard the clip batch over all local devices (parity:
@@ -191,14 +227,17 @@ def mode_test(args, cfg):
     mesh = make_mesh() if jax.device_count() > 1 else None
     if mesh is not None:
         logger.info("sharded inference over %d devices", mesh.devices.size)
+    vrange = None
+    if args.video_range:
+        lo, hi = args.video_range.split(":")
+        vrange = (int(lo), int(hi))
     t0 = time.time()
     dets = run_inference(cfg, model, params, ds, max_clips=args.max_clips,
-                         mesh=mesh)
+                         mesh=mesh, video_range=vrange)
     dt = time.time() - t0
     n_frames = sum(len(v) for v in dets.values())
     logger.info("inference over %d frames in %.1fs (%.2f fps)",
                 n_frames, dt, n_frames / max(dt, 1e-9))
-    out = os.path.join(cfg.OUTPUT_DIR, "detections.pkl")
     with open(out, "wb") as f:
         pickle.dump(dets, f)
     logger.info("wrote %s", out)
@@ -293,6 +332,34 @@ def mode_demo_data(args, cfg):
     return json_path
 
 
+def mode_import_weights(args, cfg):
+    """Detectron .pkl → npz for --weights (reference weight-loading parity:
+    utils/net.initialize_gpu_from_weights_file incl. 2D→3D inflation and
+    COCO→PoseTrack head surgery; SURVEY §3.4)."""
+    from ..utils.checkpoint import save_weights_npz
+    from ..utils.detectron_import import import_detectron_weights
+    from ..utils.logging_utils import setup_logging
+
+    logger = setup_logging()
+    if not args.weights:
+        raise SystemExit("--weights <detectron.pkl> required")
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    model, params = _init_model(cfg, None, cfg.RNG_SEED)
+    imported, report = import_detectron_weights(args.weights, params, cfg)
+    out = os.path.join(cfg.OUTPUT_DIR, "imported_weights.npz")
+    save_weights_npz(out, imported)
+    logger.info("mapped %d params (%d surgeries); %d unmatched; "
+                "%d source blobs unused", len(report["mapped"]),
+                len(report["surgery"]), len(report["missing"]),
+                len(report["unused"]))
+    for line in report["surgery"]:
+        logger.info("surgery: %s", line)
+    for line in report["missing"]:
+        logger.warning("fresh init kept: %s", line)
+    logger.info("wrote %s — pass it via --weights", out)
+    return out
+
+
 def mode_bench(args, cfg):
     import subprocess
     r = subprocess.run([sys.executable,
@@ -315,6 +382,8 @@ def main(argv=None):
         return mode_track(args, cfg)
     if args.mode == "demo-data":
         return mode_demo_data(args, cfg)
+    if args.mode == "import-weights":
+        return mode_import_weights(args, cfg)
     if args.mode == "bench":
         return mode_bench(args, cfg)
 

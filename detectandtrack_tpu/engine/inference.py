@@ -108,6 +108,7 @@ def run_inference(
     batch_size: Optional[int] = None,
     max_clips: Optional[int] = None,
     mesh=None,
+    video_range: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, List[Dict[str, np.ndarray]]]:
     """Detect over the whole dataset → per-video per-frame detections.
 
@@ -140,10 +141,16 @@ def run_inference(
     scale_targets = [cfg.TEST.SCALE] + aug_scales
     n_passes = len(scale_targets)
 
-    # Build the tiling window list (with end-aligned tails).
+    # Build the tiling window list (with end-aligned tails). `video_range`
+    # restricts to a contiguous video slice — the unit of the reference's
+    # per-GPU subprocess sharding (ranges are disjoint, merging is a dict
+    # union; see utils/subprocess_utils + cli mode_test --subprocess-shards).
     work: List[Tuple[str, int]] = []
     span = (t - 1) * stride + 1
-    for vid in dataset.videos():
+    video_list = dataset.videos()
+    if video_range is not None:
+        video_list = video_list[video_range[0]:video_range[1]]
+    for vid in video_list:
         n = len(dataset.video_frames(vid))
         if n < span:
             # Short video: one window padded by repeating the last frame

@@ -7,11 +7,14 @@ counts; on TPU the whole thing stays in the XLA graph with a static budget:
 
     keep_idx, keep_mask = nms_fixed(boxes, scores, thresh, max_out, valid)
 
-Algorithm: sort by score (invalid → -inf), precompute the IoU matrix once
-(N ≤ ~2000, so N² f32 fits VMEM-scale working sets), then a `fori_loop`
-sweep in score order flips off every later box overlapped by a surviving
-earlier box — exactly the greedy semantics of the Cython original. The
-output is always `max_out` indices plus a validity mask.
+Algorithm: precompute the IoU matrix once (N ≤ ~2000, so N² f32 fits
+VMEM-scale working sets), then `max_out` pick-and-suppress steps
+(lax.scan): take the highest-scoring alive box, kill everything it
+overlaps. That is exactly the greedy semantics of the Cython original
+truncated at the output budget — and the sequential trip count is
+`max_out` (e.g. 300), not N (e.g. 1000), which matters on TPU where loop
+iterations dominate the in-graph NMS cost (r2 trace: the NMS whiles were
+~37% of inference device time).
 """
 
 from __future__ import annotations
@@ -25,23 +28,6 @@ import jax.numpy as jnp
 from .boxes import bbox_overlaps
 
 _NEG_INF = -1e10
-
-
-def _greedy_keep(iou: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Greedy suppression over boxes already sorted by descending score.
-
-    iou: (N, N) IoU of sorted boxes with `iou > thresh` pre-thresholded as a
-    bool matrix. Returns keep mask (N,).
-    """
-    later = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)  # j strictly after i
-    suppress = iou & later
-
-    def body(i, keep):
-        # If box i survived, kill every later overlapping box.
-        row = suppress[i] & keep[i]
-        return keep & ~row
-
-    return jax.lax.fori_loop(0, n, body, jnp.ones((n,), dtype=bool))
 
 
 @partial(jax.jit, static_argnames=("max_out",))
@@ -72,21 +58,26 @@ def nms_fixed(
     if valid is not None:
         scores = jnp.where(valid, scores, _NEG_INF)
 
-    order = jnp.argsort(-scores)
-    sboxes = boxes[order]
-    sscores = scores[order]
+    # `ovr > thresh` suppression matrix (self row included — picking a box
+    # also removes it from the alive set).
+    suppress = bbox_overlaps(boxes, boxes) > iou_thresh
+    idx_range = jnp.arange(n)
 
-    iou = bbox_overlaps(sboxes, sboxes) > iou_thresh
-    keep = _greedy_keep(iou, n)
-    keep = keep & (sscores > _NEG_INF / 2)
+    def body(alive, _):
+        masked = jnp.where(alive, scores, _NEG_INF)
+        i = jnp.argmax(masked)
+        ok = masked[i] > _NEG_INF / 2
+        alive = alive & ~suppress[i] & (idx_range != i)
+        return alive, (jnp.where(ok, i, 0).astype(jnp.int32), ok)
 
-    # Select up to max_out survivors, preserving score order: give kept boxes
-    # their (ascending) position rank, push dropped ones to the end.
-    rank = jnp.where(keep, jnp.arange(n), n)
-    sel = jnp.argsort(rank)[:max_out]
-    keep_mask = keep[sel]
-    keep_idx = jnp.where(keep_mask, order[sel], 0)
-    return keep_idx.astype(jnp.int32), keep_mask
+    steps = min(max_out, n)
+    _, (keep_idx, keep_mask) = jax.lax.scan(
+        body, scores > _NEG_INF / 2, None, length=steps)
+    if steps < max_out:
+        pad = max_out - steps
+        keep_idx = jnp.pad(keep_idx, (0, pad))
+        keep_mask = jnp.pad(keep_mask, (0, pad))
+    return keep_idx, keep_mask
 
 
 @partial(jax.jit, static_argnames=("max_out", "method"))

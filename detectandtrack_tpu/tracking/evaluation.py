@@ -198,6 +198,86 @@ class PosetrackEvaluator:
         }
 
 
+def eval_box_ap(
+    preds_by_image: Dict[str, List[Tuple[np.ndarray, float]]],
+    gts_by_image: Dict[str, List[np.ndarray]],
+    thresholds: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """COCO-style box detection AP (greedy IoU matching).
+
+    Parity: `json_dataset_evaluator.evaluate_boxes` / pycocotools bbox
+    iouType: per image, score-ranked predictions greedily take the
+    highest-IoU unmatched GT at each threshold; AP averaged over
+    IoU .5:.05:.95 with 101-point interpolation.
+
+    preds: {image: [(box(4,), score)]}; gts: {image: [box(4,)]}.
+    """
+    if thresholds is None:
+        thresholds = np.arange(0.5, 1.0, 0.05)
+
+    def iou(a, b):
+        iw = max(0.0, min(a[2], b[2]) - max(a[0], b[0]) + 1)
+        ih = max(0.0, min(a[3], b[3]) - max(a[1], b[1]) + 1)
+        inter = iw * ih
+        ua = ((a[2] - a[0] + 1) * (a[3] - a[1] + 1)
+              + (b[2] - b[0] + 1) * (b[3] - b[1] + 1) - inter)
+        return inter / max(ua, 1e-9)
+
+    all_scores: List[float] = []
+    all_matches: List[np.ndarray] = []
+    n_gt = 0
+    images = set(gts_by_image) | set(preds_by_image)
+    for img in images:
+        gts = gts_by_image.get(img, [])
+        preds = sorted(preds_by_image.get(img, []), key=lambda p: -p[1])
+        n_gt += len(gts)
+        taken = {ti: set() for ti in range(len(thresholds))}
+        for box, score in preds:
+            all_scores.append(score)
+            row = np.zeros(len(thresholds))
+            for ti, thr in enumerate(thresholds):
+                best, best_g = thr, -1
+                for gi, gt in enumerate(gts):
+                    if gi in taken[ti]:
+                        continue
+                    ov = iou(box, gt)
+                    if ov >= best:
+                        best, best_g = ov, gi
+                if best_g >= 0:
+                    taken[ti].add(best_g)
+                    row[ti] = 1.0
+            all_matches.append(row)
+
+    if n_gt == 0:
+        return {"AP": float("nan"), "AP50": float("nan"),
+                "AP75": float("nan")}
+    order = np.argsort(-np.asarray(all_scores))
+    m = (np.stack(all_matches)[order] if all_matches
+         else np.zeros((0, len(thresholds))))
+    aps = []
+    for ti in range(len(thresholds)):
+        tp = np.cumsum(m[:, ti])
+        fp = np.cumsum(1 - m[:, ti])
+        recall = tp / n_gt
+        precision = tp / np.maximum(tp + fp, 1)
+        mrec = np.concatenate([[0.0], recall])
+        # Sentinel 0 so the backward max sets precision-at-recall-0 to the
+        # best achieved precision (pycocotools semantics), not 1.0.
+        mpre = np.concatenate([[0.0], precision])
+        for i in range(len(mpre) - 2, -1, -1):
+            mpre[i] = max(mpre[i], mpre[i + 1])
+        q = np.linspace(0, 1, 101)
+        idx = np.searchsorted(mrec, q, side="left")
+        idx = np.minimum(idx, len(mpre) - 1)
+        aps.append(np.mean(mpre[idx]))
+    aps = np.asarray(aps)
+    return {
+        "AP": float(aps.mean() * 100.0),
+        "AP50": float(aps[0] * 100.0),
+        "AP75": float(aps[5] * 100.0),
+    }
+
+
 def eval_keypoint_ap_oks(
     preds_by_image: Dict[str, List[PoseAnnotation]],
     gts_by_image: Dict[str, List[PoseAnnotation]],
@@ -263,7 +343,9 @@ def eval_keypoint_ap_oks(
         recall = tp / n_gt
         precision = tp / np.maximum(tp + fp, 1)
         mrec = np.concatenate([[0.0], recall])
-        mpre = np.concatenate([[1.0], precision])
+        # Sentinel 0 so the backward max sets precision-at-recall-0 to the
+        # best achieved precision (pycocotools semantics), not 1.0.
+        mpre = np.concatenate([[0.0], precision])
         for i in range(len(mpre) - 2, -1, -1):
             mpre[i] = max(mpre[i], mpre[i + 1])
         # 101-point interpolation (COCO)

@@ -88,3 +88,44 @@ def test_oks_ap_perfect_and_shifted():
            "im2": [_pose(offset=500, score=0.8)]}
     res2 = eval_keypoint_ap_oks(far, gts)
     assert res2["AP"] < 1.0
+
+
+def test_box_ap_perfect_and_misses():
+    from detectandtrack_tpu.tracking.evaluation import eval_box_ap
+    b = lambda *xs: np.array(xs, np.float64)
+    gts = {"im0": [b(0, 0, 10, 10), b(50, 50, 70, 70)]}
+    # Perfect detections.
+    preds = {"im0": [(b(0, 0, 10, 10), 0.9), (b(50, 50, 70, 70), 0.8)]}
+    m = eval_box_ap(preds, gts)
+    assert m["AP"] == 100.0 and m["AP50"] == 100.0
+    # One perfect + one miss (no overlap): recall caps at 0.5.
+    preds = {"im0": [(b(0, 0, 10, 10), 0.9), (b(200, 200, 220, 220), 0.8)]}
+    m = eval_box_ap(preds, gts)
+    assert m["AP50"] < 100.0
+    assert m["AP50"] >= 50.0
+
+
+def test_box_ap_iou_threshold_ladder():
+    """A loose box passes AP50 but fails AP75."""
+    from detectandtrack_tpu.tracking.evaluation import eval_box_ap
+    gt = np.array([0, 0, 99, 99], np.float64)
+    loose = np.array([0, 0, 69, 99], np.float64)   # IoU = 0.7
+    m = eval_box_ap({"im0": [(loose, 0.9)]}, {"im0": [gt]})
+    assert m["AP50"] == 100.0
+    assert m["AP75"] == 0.0
+
+
+def test_box_ap_duplicate_detection_is_fp():
+    from detectandtrack_tpu.tracking.evaluation import eval_box_ap
+    gt = np.array([0, 0, 10, 10], np.float64)
+    preds = {"im0": [(gt.copy(), 0.9), (gt.copy(), 0.8)]}
+    m = eval_box_ap(preds, {"im0": [gt]})
+    # Second (greedy-unmatched) duplicate is a FP at full recall →
+    # precision drops after recall 1.0, AP stays 100 (all-point at max
+    # precision per recall).
+    assert m["AP50"] == 100.0
+    # But with the duplicate scored HIGHER, precision at recall 1 is 0.5...
+    preds = {"im0": [(np.array([100, 100, 110, 110.0]), 0.95),
+                     (gt.copy(), 0.8)]}
+    m = eval_box_ap(preds, {"im0": [gt]})
+    assert m["AP50"] == 50.0
