@@ -422,6 +422,12 @@ def assert_and_infer_cfg(cfg: Config) -> Config:
 
     if cfg.MODEL.CONV_BODY not in ("resnet18", "resnet50", "resnet101"):
         raise ValueError(f"Unknown CONV_BODY {cfg.MODEL.CONV_BODY!r}")
+    if cfg.RESNETS.NUM_GROUPS < 1 or cfg.RESNETS.WIDTH_PER_GROUP < 1:
+        raise ValueError("RESNETS.NUM_GROUPS/WIDTH_PER_GROUP must be >= 1")
+    if cfg.RESNETS.NUM_GROUPS > 1 and cfg.MODEL.CONV_BODY == "resnet18":
+        raise ValueError("ResNeXt grouping (RESNETS.NUM_GROUPS > 1) needs a "
+                         "bottleneck depth (resnet50/101); basic-block R-18 "
+                         "has no grouped transform in the lineage")
     if not cfg.MODEL.FREEZE_BN:
         raise ValueError(
             "MODEL.FREEZE_BN=False is unsupported: BN is implemented as "

@@ -63,6 +63,7 @@ class Conv3d(nn.Module):
     dtype: Any = jnp.float32
     kernel_init: Any = None
     dilation: Tuple[int, int, int] = (1, 1, 1)
+    groups: int = 1                      # ResNeXt grouped conv
 
     @nn.compact
     def __call__(self, x):
@@ -72,7 +73,7 @@ class Conv3d(nn.Module):
         kernel = self.param(
             "kernel",
             init,
-            (t, kh, kw, x.shape[-1], self.features),
+            (t, kh, kw, x.shape[-1] // self.groups, self.features),
         )
         # Same-padding for (possibly dilated) kernels: effective size
         # (k-1)·d + 1 keeps the spatial/temporal extent.
@@ -85,6 +86,7 @@ class Conv3d(nn.Module):
             padding=pads,
             rhs_dilation=self.dilation,
             dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+            feature_group_count=self.groups,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -100,11 +102,13 @@ class ConvAffine(nn.Module):
     strides: Tuple[int, int, int] = (1, 1, 1)
     dtype: Any = jnp.float32
     dilation: Tuple[int, int, int] = (1, 1, 1)
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
         x = Conv3d(self.features, self.kernel, self.strides,
-                   dtype=self.dtype, dilation=self.dilation, name="conv")(x)
+                   dtype=self.dtype, dilation=self.dilation,
+                   groups=self.groups, name="conv")(x)
         return AffineChannel(self.features, dtype=self.dtype, name="bn")(x)
 
 
@@ -120,6 +124,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     spatial_dilation: int = 1
     time_dilation: int = 1
+    groups: int = 1                     # ResNeXt cardinality (RESNETS.NUM_GROUPS)
 
     @nn.compact
     def __call__(self, x):
@@ -138,7 +143,8 @@ class Bottleneck(nn.Module):
                        dtype=self.dtype, name="a")(x)
         y = nn.relu(y)
         y = ConvAffine(self.features, (tk, 3, 3), s2,
-                       dtype=self.dtype, dilation=dil, name="b")(y)
+                       dtype=self.dtype, dilation=dil, groups=self.groups,
+                       name="b")(y)
         y = nn.relu(y)
         y = ConvAffine(self.out_features, (1, 1, 1), (1, 1, 1),
                        dtype=self.dtype, name="c")(y)
@@ -212,10 +218,14 @@ class ResNet(nn.Module):
                         padding=((0, 0), (1, 1), (1, 1)))
 
         feats = {}
+        # ResNeXt (Detectron RESNETS.NUM_GROUPS/WIDTH_PER_GROUP): the
+        # bottleneck's inner width is groups*width_per_group (256 for
+        # 32x8d/64x4d at res2) but stage OUTPUT channels stay the plain-ResNet
+        # 256/512/1024/2048 so FPN laterals and heads are unchanged.
         width = self.width_per_group * self.num_groups
         for stage, n_blocks in enumerate(blocks):            # res2..res5
             inner = width * (2 ** stage)
-            out = inner * expansion
+            out = 64 * expansion * (2 ** stage)
             tk = self.time_kernels[stage + 1]
             is_res5 = stage == len(blocks) - 1
             sdil = self.res5_dilation if is_res5 else 1
@@ -223,6 +233,7 @@ class ResNet(nn.Module):
             stride = 1 if stage == 0 else 2
             if is_res5 and sdil > 1:
                 stride = 1                # dilated res5 keeps stride 16
+            extra = {} if basic else {"groups": self.num_groups}
             for b in range(n_blocks):
                 y = block_cls(
                     features=inner,
@@ -234,6 +245,7 @@ class ResNet(nn.Module):
                     spatial_dilation=sdil,
                     time_dilation=tdil,
                     name=f"res{stage + 2}_{b}",
+                    **extra,
                 )(y)
             feats[f"res{stage + 2}"] = y
         return feats

@@ -84,8 +84,10 @@ class GeneralizedRCNN(nn.Module):
                 num_frames=t,
                 time_kernel=(cfg.VIDEO.TIME_KERNEL_DIM[4]
                              if cfg.VIDEO.VIDEO_ON else 1),
+                width=cfg.RESNETS.WIDTH_PER_GROUP * cfg.RESNETS.NUM_GROUPS * 8,
                 stride_1x1=cfg.RESNETS.STRIDE_1X1,
                 dtype=dtype,
+                groups=cfg.RESNETS.NUM_GROUPS,
             )
         if cfg.MODEL.KEYPOINTS_ON:
             self.kps_head = KeypointHead(

@@ -141,6 +141,7 @@ class Res5BoxHead(nn.Module):
     width: int = 512
     stride_1x1: bool = True
     dtype: Any = jnp.float32
+    groups: int = 1                     # ResNeXt cardinality
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):
@@ -149,11 +150,12 @@ class Res5BoxHead(nn.Module):
         for b in range(3):
             x = Bottleneck(
                 features=self.width,
-                out_features=self.width * 4,
+                out_features=2048,
                 spatial_stride=2 if b == 0 else 1,
                 time_kernel=self.time_kernel,
                 stride_1x1=self.stride_1x1,
                 dtype=self.dtype,
+                groups=self.groups,
                 name=f"res5_{b}",
             )(x)
         pooled = jnp.mean(x, axis=(2, 3))                 # (R, T, C)

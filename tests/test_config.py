@@ -130,3 +130,19 @@ def test_trans_func_derived_from_depth():
     assert load_cfg(opts=["MODEL.CONV_BODY", "resnet18"]
                     ).RESNETS.TRANS_FUNC == "basic"
     assert load_cfg().RESNETS.TRANS_FUNC == "bottleneck"
+
+
+def test_all_shipped_configs_load_and_validate():
+    """Every YAML under configs/video must pass assert_and_infer_cfg —
+    a shipped experiment definition with a typo'd key or an inconsistent
+    option must fail CI, not the user (reference discipline: configs are
+    the experiment fixtures, SURVEY.md §4)."""
+    import glob
+    import os
+    from detectandtrack_tpu.core.config import load_cfg
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", "video")
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(paths) >= 15
+    for p in paths:
+        cfg = load_cfg(p)
+        assert cfg.MODEL.CONV_BODY in ("resnet18", "resnet50", "resnet101")

@@ -32,6 +32,46 @@ def test_backbone_bottleneck_channels():
     assert feats["res5"].shape == (1, 1, 2, 2, 2048)
 
 
+def test_backbone_resnext_groups():
+    """ResNeXt (RESNETS.NUM_GROUPS > 1, reference lib/modeling/ResNet.py
+    dim_inner = num_groups * width_per_group): stage outputs keep the plain
+    256·2^s channel plan while the grouped 3x3 kernels shrink their
+    in-channel axis to inner/groups."""
+    m = ResNet(depth="resnet50", num_groups=4, width_per_group=4)
+    x = jnp.zeros((1, 1, 32, 32, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(params, x)
+    # Output channel plan unchanged vs plain ResNet (FPN/head compatible).
+    assert feats["res2"].shape[-1] == 256
+    assert feats["res5"].shape[-1] == 2048
+    p = params["params"]
+    # res2 inner width = 4 groups * 4 = 16; grouped kernel in-ch = 16/4 = 4.
+    assert p["res2_0"]["b"]["conv"]["kernel"].shape == (1, 3, 3, 4, 16)
+    assert p["res2_0"]["a"]["conv"]["kernel"].shape[-1] == 16
+    # Grouped conv == block-diagonal dense conv: zero out cross-group
+    # input channels of a dense kernel and compare.
+    from detectandtrack_tpu.models.backbone import Conv3d
+    rng = np.random.default_rng(1)
+    xin = jnp.asarray(rng.normal(size=(1, 1, 8, 8, 8)), jnp.float32)
+    gconv = Conv3d(8, (1, 3, 3), groups=2)
+    gp = gconv.init(jax.random.PRNGKey(2), xin)
+    gk = gp["params"]["kernel"]                       # (1,3,3,4,8)
+    dense = np.zeros((1, 3, 3, 8, 8), np.float32)
+    dense[..., :4, :4] = np.asarray(gk[..., :4])
+    dense[..., 4:, 4:] = np.asarray(gk[..., 4:])
+    dconv = Conv3d(8, (1, 3, 3), groups=1)
+    out_g = gconv.apply(gp, xin)
+    out_d = dconv.apply({"params": {"kernel": jnp.asarray(dense)}}, xin)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_d),
+                               atol=1e-5)
+
+
+def test_resnext_cfg_validation():
+    with pytest.raises(ValueError, match="bottleneck"):
+        load_cfg(opts=["MODEL.CONV_BODY", "resnet18",
+                       "RESNETS.NUM_GROUPS", 2])
+
+
 def test_t1_conv_is_per_frame():
     """A t=1 network on a T=3 clip == the same net run per frame."""
     m = ResNet(depth="resnet18")
