@@ -371,6 +371,10 @@ def mode_bench(args, cfg):
 
 def main(argv=None):
     args = parse_args(argv)
+    # Multi-host bring-up must precede any jax backend use (no-op unless
+    # the JAX_COORDINATOR_ADDRESS / DAT_DISTRIBUTED env contract asks).
+    from ..parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
     from ..core.config import Config
     cfg = _load_cfg(args) if args.cfg else __import__(
         "detectandtrack_tpu.core.config", fromlist=["Config"]).Config()

@@ -7,14 +7,20 @@ counts; on TPU the whole thing stays in the XLA graph with a static budget:
 
     keep_idx, keep_mask = nms_fixed(boxes, scores, thresh, max_out, valid)
 
-Algorithm: precompute the IoU matrix once (N ≤ ~2000, so N² f32 fits
-VMEM-scale working sets), then `max_out` pick-and-suppress steps
-(lax.scan): take the highest-scoring alive box, kill everything it
-overlaps. That is exactly the greedy semantics of the Cython original
-truncated at the output budget — and the sequential trip count is
-`max_out` (e.g. 300), not N (e.g. 1000), which matters on TPU where loop
-iterations dominate the in-graph NMS cost (r2 trace: the NMS whiles were
-~37% of inference device time).
+Algorithm (exact greedy, near-constant sequential depth): sort by score,
+build the strictly-upper-triangular suppression matrix S[j, i] = "j
+outranks i and IoU > thresh", then Jacobi-iterate
+
+    kept ← valid & ¬any_j(S[j, i] & kept[j])
+
+to a fixpoint. Greedy NMS is the forward-substitution solution of that
+triangular recurrence; starting from all-true, every box stabilizes once
+its suppression-chain predecessors have, so the iteration converges to
+exactly the greedy result in (max suppression-chain depth + 1) rounds —
+single digits for real detections — instead of the `max_out` (300–1000)
+pick-one-box steps of a sequential scan. Each round is one O(N²) masked
+reduction, which the VPU eats whole. (r2 trace: sequential-scan NMS
+whiles were ~29% of inference device time; this removes them.)
 """
 
 from __future__ import annotations
@@ -58,25 +64,39 @@ def nms_fixed(
     if valid is not None:
         scores = jnp.where(valid, scores, _NEG_INF)
 
-    # `ovr > thresh` suppression matrix (self row included — picking a box
-    # also removes it from the alive set).
-    suppress = bbox_overlaps(boxes, boxes) > iou_thresh
-    idx_range = jnp.arange(n)
+    # Score-descending order; jnp.argsort is stable, so ties keep their
+    # original index order (the same tie-break as the scan/argmax form).
+    order = jnp.argsort(-scores)
+    b = boxes[order].astype(jnp.float32)
+    valid_sorted = scores[order] > _NEG_INF / 2
 
-    def body(alive, _):
-        masked = jnp.where(alive, scores, _NEG_INF)
-        i = jnp.argmax(masked)
-        ok = masked[i] > _NEG_INF / 2
-        alive = alive & ~suppress[i] & (idx_range != i)
-        return alive, (jnp.where(ok, i, 0).astype(jnp.int32), ok)
+    # S[j, i]: j (higher-ranked) suppresses i, `ovr > thresh` strictly
+    # (Cython reference semantics). Strictly upper triangular.
+    iou = bbox_overlaps(b, b)
+    rng = jnp.arange(n)
+    supp = (iou > iou_thresh) & (rng[:, None] < rng[None, :])
 
-    steps = min(max_out, n)
-    _, (keep_idx, keep_mask) = jax.lax.scan(
-        body, scores > _NEG_INF / 2, None, length=steps)
-    if steps < max_out:
-        pad = max_out - steps
-        keep_idx = jnp.pad(keep_idx, (0, pad))
-        keep_mask = jnp.pad(keep_mask, (0, pad))
+    def cond(state):
+        it, _, changed = state
+        return changed & (it < n)
+
+    def body(state):
+        it, kept, _ = state
+        new = valid_sorted & ~jnp.any(supp & kept[:, None], axis=0)
+        return it + 1, new, jnp.any(new != kept)
+
+    _, kept, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), valid_sorted, jnp.bool_(True)))
+
+    # First `max_out` survivors in score order, via a unique-target scatter
+    # on each survivor's rank (overflow rank -> a discard slot).
+    pos = jnp.cumsum(kept) - 1
+    tgt = jnp.where(kept & (pos < max_out), pos, max_out)
+    keep_idx = (jnp.zeros(max_out + 1, jnp.int32)
+                .at[tgt].set(order.astype(jnp.int32))[:max_out])
+    keep_mask = (jnp.zeros(max_out + 1, bool)
+                 .at[tgt].set(kept)[:max_out])
+    keep_idx = jnp.where(keep_mask, keep_idx, 0)
     return keep_idx, keep_mask
 
 

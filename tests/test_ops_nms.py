@@ -79,3 +79,23 @@ def test_soft_nms_decays_overlapping():
     # duplicate box's score decayed below the far box
     pos1 = list(idx).index(1)
     assert new_scores[pos1] < 0.5
+
+
+def test_nms_suppression_chain_exact():
+    """Worst case for the fixpoint form: a long chain where box i suppresses
+    i+1 but NOT i+2 (so suppressed boxes re-enable their successors). The
+    Jacobi iteration needs chain-depth rounds; the result must still equal
+    the sequential-greedy oracle exactly."""
+    n = 64
+    # Boxes sliding right by 6px each, 10px wide: IoU(i, i+1) = 4/16 = 0.25
+    # > 0.2 thresh; IoU(i, i+2) = 0 — the alternating-keep chain.
+    x1 = np.arange(n, dtype=np.float32) * 6.0
+    boxes = np.stack([x1, np.zeros(n, np.float32),
+                      x1 + 9.0, np.full(n, 9.0, np.float32)], axis=1)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    ref = nms_numpy(boxes, scores, 0.2)
+    idx, mask = nms_fixed(boxes, scores, 0.2, n)
+    got = [int(i) for i, m in zip(np.asarray(idx), np.asarray(mask)) if m]
+    assert got == ref
+    # every even box kept (alternating chain)
+    assert got == list(range(0, n, 2))

@@ -11,6 +11,7 @@ gradients computed one at a time with the exact per-shard RNG derivation
 update. The mesh step must match it numerically.
 """
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -200,3 +201,33 @@ def test_shard_batch_places_dim0_across_devices(env):
     # Each device holds exactly one batch row.
     for s in clips.addressable_shards:
         assert s.data.shape[0] == 1
+
+
+def test_maybe_init_distributed_noop_without_env(monkeypatch):
+    from detectandtrack_tpu.parallel.mesh import maybe_init_distributed
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("DAT_DISTRIBUTED", raising=False)
+    assert maybe_init_distributed() is False
+
+
+def test_maybe_init_distributed_single_process(tmp_path):
+    """The explicit-coordinator path really brings up jax.distributed (in a
+    child so this process's backend stays untouched)."""
+    import subprocess
+    import sys
+    code = (
+        "from detectandtrack_tpu.parallel.mesh import maybe_init_distributed\n"
+        "import jax\n"
+        "assert maybe_init_distributed() is True\n"
+        "assert jax.process_count() == 1\n"
+        "print('DIST_OK')\n")
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               JAX_COORDINATOR_ADDRESS="127.0.0.1:29517",
+               JAX_NUM_PROCESSES="1",
+               JAX_PROCESS_ID="0")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert "DIST_OK" in r.stdout, r.stderr[-2000:]
