@@ -497,12 +497,17 @@ def _roi_align_dense_block(features, rois, output_size, sampling_ratio,
         # contribute exact zeros and level outputs can be summed.
         a = a * weight.reshape(s_dim * k, 1, 1).astype(dtype)
     a = a.reshape(s_dim, k * p, h)
-    # (S, K·P, H) @ (S, H, W·C) → (S, K·P, W·C)
+    # (S, K·P, H) @ (S, H, W, C) → (S, K·P, W, C). W and C stay separate
+    # free dims: merging them forced a (H·W·C-sized) f32 RETILING reshape
+    # downstream — 53% of the isolated align's device time in the r2
+    # trace. With them separate, the follow-up reshape only regroups
+    # major dims (a free view), and the f32→bf16 convert fuses into the
+    # dot output.
     tmp = jax.lax.dot_general(
-        a, features.reshape(s_dim, h, w * c),
+        a, features,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).reshape(s_dim * k, p, w, c).astype(dtype)
+    ).astype(dtype).reshape(s_dim * k, p, w, c)
     # (S·K, Pq, W) ⊗ (S·K, Pp, W, C) → (S·K, Pq, Pp, C)
     out = jax.lax.dot_general(
         b, tmp,
@@ -513,9 +518,20 @@ def _roi_align_dense_block(features, rois, output_size, sampling_ratio,
     return out.astype(dtype).reshape(s_dim, k, p, p, c)
 
 
-# K-block size: bounds the (S, kc·P, W·C) matmul intermediate (the full-K
-# version materialized 26 GB at batch 8 and OOM'd the 16 GB HBM).
-_DENSE_CHUNK = 32
+# HBM budget for the (S, kc·P, W·C) f32 matmul intermediate of one K-block.
+# The full-K version materialized 26 GB at batch 8 and OOM'd the 16 GB HBM;
+# the other extreme (fixed chunk 32) ran 10+ sequential lax.map steps of
+# M=224 matmuls at ~7% MXU efficiency (the dominant `while`s in the r2
+# trace). The chunk is therefore sized to the budget per call: small W·C
+# (high FPN levels, low resolutions) → big chunks → few big matmul steps.
+_DENSE_INTERMEDIATE_BUDGET = 3 * 1024**3
+
+
+def _auto_chunk(s_dim, p, w, c, k):
+    per_roi = p * w * c * 4 * s_dim          # f32 intermediate bytes / roi
+    chunk = max(32, _DENSE_INTERMEDIATE_BUDGET // max(per_roi, 1))
+    # Round to a multiple of 8 sublanes; never beyond K itself.
+    return int(min(k, (chunk // 8) * 8))
 
 
 def roi_align_dense(
@@ -525,11 +541,13 @@ def roi_align_dense(
     sampling_ratio: int = 2,
     spatial_scale: float = 1.0,
     weight: Optional[jnp.ndarray] = None,   # (S, K) multiplier
-    chunk: int = _DENSE_CHUNK,
+    chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Slab-batched dense RoIAlign → (S, K, P, P, C), K-chunked."""
     s_dim, h, w, c = features.shape
     k = rois.shape[1]
+    if chunk is None:
+        chunk = _auto_chunk(s_dim, output_size, w, c, k)
     if k <= chunk:
         return _roi_align_dense_block(features, rois, output_size,
                                       sampling_ratio, spatial_scale, weight)
@@ -539,21 +557,213 @@ def roi_align_dense(
                      ((0, 0), (0, pad), (0, 0)))
     w_p = (jnp.pad(weight, ((0, 0), (0, pad))) if weight is not None
            else None)
-    rois_c = rois_p.reshape(s_dim, n_chunks, chunk, 4).swapaxes(0, 1)
-
-    def body(args):
-        rc, wc = args
-        return _roi_align_dense_block(features, rc, output_size,
-                                      sampling_ratio, spatial_scale, wc)
-
-    if w_p is not None:
-        w_c = w_p.reshape(s_dim, n_chunks, chunk).swapaxes(0, 1)
-    else:
-        w_c = jnp.ones((n_chunks, s_dim, chunk), features.dtype)
-    out = jax.lax.map(body, (rois_c, w_c))      # (n_chunks, S, chunk, ...)
-    p = output_size
-    out = out.swapaxes(0, 1).reshape(s_dim, n_chunks * chunk, p, p, c)
+    # Unrolled chunk loop: n_chunks is static and small (the auto-chunk
+    # sizing), so unrolling lets XLA schedule the blocks back-to-back with
+    # no lax.map/while plumbing (the chunked maps were ~30% of inference
+    # device time in the r2 trace as tiny-M sequential matmuls).
+    outs = []
+    for i in range(n_chunks):
+        rc = jax.lax.dynamic_slice_in_dim(rois_p, i * chunk, chunk, axis=1)
+        wc = (jax.lax.dynamic_slice_in_dim(w_p, i * chunk, chunk, axis=1)
+              if w_p is not None else None)
+        outs.append(_roi_align_dense_block(
+            features, rc, output_size, sampling_ratio, spatial_scale, wc))
+    out = jnp.concatenate(outs, axis=1)         # (S, n_chunks·chunk, ...)
     return out[:, :k]
+
+
+def _roi_align_hybrid_block(features, rois, output_size, sampling_ratio,
+                            spatial_scale, weight=None):
+    """One K-block of the hybrid RoIAlign (see roi_align_hybrid)."""
+    s_dim, h, w, c = features.shape
+    k = rois.shape[1]
+    p, s = output_size, sampling_ratio
+    ps = p * s
+    dtype = features.dtype
+    r = jnp.asarray(rois, jnp.float32).reshape(s_dim * k, 4) * spatial_scale
+    x1, y1, x2, y2 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+    bin_w = jnp.maximum(x2 - x1, 1.0) / p
+    bin_h = jnp.maximum(y2 - y1, 1.0) / p
+
+    # Y axis: dense interpolation matrix, contracted on the MXU with
+    # M = K·P (large). Output keeps (W, C) as separate free dims so the
+    # result is directly consumable without a retiling reshape.
+    a = _hat_matrix(y1, bin_h, p, s, h, dtype)               # (S·K, P, H)
+    if weight is not None:
+        a = a * weight.reshape(s_dim * k, 1, 1).astype(dtype)
+    a = a.reshape(s_dim, k * p, h)
+    tmp = jax.lax.dot_general(
+        a, features,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype).reshape(s_dim * k, p, w, c)              # (S·K, P, W, C)
+
+    # X axis: the dense form here is a batched matmul with M = P (7/14) at
+    # ~5% MXU efficiency — instead gather the two bilinear corner columns
+    # of each sample position from the P rows (contiguous C-minor rows, the
+    # embedding-lookup pattern) and do the weighted sum on the VPU.
+    iy = (jnp.arange(p, dtype=jnp.float32)[:, None]
+          + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s).reshape(-1)
+    xs = x1[:, None] + iy[None, :] * bin_w[:, None]          # (S·K, PS)
+    xv = ((xs > -1.0) & (xs < w)).astype(jnp.float32)
+    xc = jnp.clip(xs, 0.0, w - 1.0)
+    x0 = jnp.floor(xc)
+    wx1 = xc - x0
+    x0i = x0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    idx = jnp.concatenate([x0i, x1i], axis=1)                # (S·K, 2·PS)
+    g = jnp.take_along_axis(tmp, idx[:, None, :, None], axis=2)
+    wts = jnp.concatenate([(1.0 - wx1) * xv, wx1 * xv],
+                          axis=1) / s                        # (S·K, 2·PS)
+    g = g.astype(jnp.float32) * wts[:, None, :, None]
+    # (S·K, Py, 2, Px, s, C) → sum corners + average samples → (Py, Px)
+    # output order, matching roi_align_reference's (p, q, c).
+    out = g.reshape(s_dim * k, p, 2, p, s, c).sum(axis=(2, 4))
+    return out.astype(dtype).reshape(s_dim, k, p, p, c)
+
+
+def roi_align_hybrid(
+    features: jnp.ndarray,      # (S, H, W, C) slab stack
+    rois: jnp.ndarray,          # (S, K, 4) rois grouped by slab
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    spatial_scale: float = 1.0,
+    weight: Optional[jnp.ndarray] = None,   # (S, K) multiplier
+    chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Hybrid einsum-y / gather-x RoIAlign → (S, K, P, P, C), K-chunked."""
+    s_dim, h, w, c = features.shape
+    k = rois.shape[1]
+    if chunk is None:
+        # bf16 (S, kc·P, W, C) intermediate — half the dense form's bytes.
+        per_roi = output_size * w * c * 2 * s_dim
+        chunk = max(32, _DENSE_INTERMEDIATE_BUDGET // max(per_roi, 1))
+        chunk = int(min(k, (chunk // 8) * 8))
+    if k <= chunk:
+        return _roi_align_hybrid_block(features, rois, output_size,
+                                       sampling_ratio, spatial_scale, weight)
+    n_chunks = -(-k // chunk)
+    pad = n_chunks * chunk - k
+    rois_p = jnp.pad(jnp.asarray(rois, jnp.float32),
+                     ((0, 0), (0, pad), (0, 0)))
+    w_p = (jnp.pad(weight, ((0, 0), (0, pad))) if weight is not None
+           else None)
+    outs = []
+    for i in range(n_chunks):
+        rc = jax.lax.dynamic_slice_in_dim(rois_p, i * chunk, chunk, axis=1)
+        wc = (jax.lax.dynamic_slice_in_dim(w_p, i * chunk, chunk, axis=1)
+              if w_p is not None else None)
+        outs.append(_roi_align_hybrid_block(
+            features, rc, output_size, sampling_ratio, spatial_scale, wc))
+    return jnp.concatenate(outs, axis=1)[:, :k]
+
+
+def roi_align_multilevel_hybrid(
+    features: Sequence[jnp.ndarray],
+    strides: Sequence[int],
+    rois: jnp.ndarray,
+    levels: jnp.ndarray,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """FPN hybrid RoIAlign with per-roi level masks (summed, like dense)."""
+    out = None
+    for li, (feat, stride) in enumerate(zip(features, strides)):
+        mask = (levels == li)
+        o = roi_align_hybrid(feat, rois, output_size, sampling_ratio,
+                             1.0 / stride, weight=mask)
+        out = o if out is None else out + o
+    return out
+
+
+def roi_align_multilevel_gather(
+    features: Sequence[jnp.ndarray],   # per level (S, H_l, W_l, C)
+    strides: Sequence[int],
+    rois: jnp.ndarray,                 # (S, K, 4) image coords, slab-grouped
+    levels: jnp.ndarray,               # (S, K) int32
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """FPN RoIAlign via embedding-style row gathers → (S, K, P, P, C).
+
+    The dense two-einsum form pays for the whole feature map per RoI chunk
+    and its second contraction is a batched matmul with M = P = 7 (≈5% MXU
+    efficiency — the dominant fusions in the r2 800×1344 trace). This form
+    reads only the 4·(P·s)² bilinear corner rows each RoI actually touches:
+    the pyramid is flattened level-major into one (S, ΣH_l·W_l, C) buffer,
+    per-sample flat indices are built from each RoI's own level (no
+    per-level masking, no L× redundant compute), and 4 take_along_axis row
+    gathers + a fused weighted sum do the interpolation. Pure HBM-bandwidth
+    cost: ~4·S·K·(P·s)²·C values per call.
+
+    Coordinate semantics identical to `roi_align_reference` (Detectron):
+    sample centers at bin-interior positions, samples outside (-1, size)
+    contribute zero, in-range samples clamp to [0, size-1].
+    """
+    s_dim, _, _, c = features[0].shape
+    k = rois.shape[1]
+    p, s = output_size, sampling_ratio
+    ps = p * s
+
+    hs = jnp.asarray([f.shape[1] for f in features], jnp.float32)
+    ws = jnp.asarray([f.shape[2] for f in features], jnp.float32)
+    sizes = [f.shape[1] * f.shape[2] for f in features]
+    offs = jnp.asarray([0] + list(jnp.cumsum(jnp.asarray(sizes))[:-1]),
+                       jnp.int32)
+    scales = jnp.asarray([1.0 / st for st in strides], jnp.float32)
+
+    flat = jnp.concatenate(
+        [f.reshape(s_dim, -1, c) for f in features], axis=1)
+
+    lvl = jnp.clip(levels, 0, len(features) - 1)
+    h_l = jnp.take(hs, lvl)                                  # (S, K)
+    w_l = jnp.take(ws, lvl)
+    base = jnp.take(offs, lvl)                               # (S, K) int32
+    sc = jnp.take(scales, lvl)
+
+    r = jnp.asarray(rois, jnp.float32) * sc[..., None]
+    x1, y1, x2, y2 = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+    bin_h = jnp.maximum(y2 - y1, 1.0) / p                    # (S, K)
+    bin_w = jnp.maximum(x2 - x1, 1.0) / p
+
+    # Sample centers: (P·s,) bin-interior offsets (oracle's iy flattened).
+    iy = (jnp.arange(p, dtype=jnp.float32)[:, None]
+          + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s).reshape(-1)
+    ys = y1[..., None] + iy * bin_h[..., None]               # (S, K, PS)
+    xs = x1[..., None] + iy * bin_w[..., None]
+
+    yv = (ys > -1.0) & (ys < h_l[..., None])
+    xv = (xs > -1.0) & (xs < w_l[..., None])
+    yc = jnp.clip(ys, 0.0, h_l[..., None] - 1.0)
+    xc = jnp.clip(xs, 0.0, w_l[..., None] - 1.0)
+
+    y0 = jnp.floor(yc)
+    x0 = jnp.floor(xc)
+    wy1 = yc - y0                                            # (S, K, PS)
+    wx1 = xc - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h_l[..., None].astype(jnp.int32) - 1)
+    x1i = jnp.minimum(x0i + 1, w_l[..., None].astype(jnp.int32) - 1)
+
+    w_li = w_l.astype(jnp.int32)
+    # Sample validity + 1/s² bin average folded into the corner weights.
+    vw = (yv[..., :, None] & xv[..., None, :]).astype(jnp.float32) / (s * s)
+
+    out = None
+    for yi, wy in ((y0i, 1.0 - wy1), (y1i, wy1)):
+        row = base[..., None] + yi * w_li[..., None]         # (S, K, PS)
+        for xi, wx in ((x0i, 1.0 - wx1), (x1i, wx1)):
+            idx = row[..., :, None] + xi[..., None, :]       # (S, K, PS, PS)
+            g = jnp.take_along_axis(
+                flat, idx.reshape(s_dim, -1)[..., None], axis=1)
+            g = g.reshape(s_dim, k, ps, ps, c)
+            w = (wy[..., :, None] * wx[..., None, :] * vw)[..., None]
+            term = g.astype(jnp.float32) * w
+            out = term if out is None else out + term
+    # (S, K, P, s, P, s, C): the s axes were averaged via vw.
+    out = out.reshape(s_dim, k, p, s, p, s, c).sum(axis=(3, 5))
+    return out.astype(features[0].dtype)
 
 
 def roi_align_multilevel_dense(

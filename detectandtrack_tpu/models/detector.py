@@ -25,6 +25,8 @@ from ..core.config import Config
 from ..kernels.roi_align import (
     assign_fpn_levels,
     roi_align_multilevel_dense,
+    roi_align_multilevel_gather,
+    roi_align_multilevel_hybrid,
 )
 from ..ops import boxes as box_ops
 from ..ops.anchors import fpn_anchor_fields, generate_anchors, \
@@ -243,7 +245,11 @@ class GeneralizedRCNN(nn.Module):
                                  axis=1).reshape(b * t, k)
 
         flat_maps = [m.reshape((-1,) + m.shape[2:]) for m in maps]
-        pooled = roi_align_multilevel_dense(
+        align = {"hybrid": roi_align_multilevel_hybrid,
+                 "gather": roi_align_multilevel_gather,
+                 "dense": roi_align_multilevel_dense}[
+                     cfg.MODEL.ROI_ALIGN_IMPL]
+        pooled = align(
             flat_maps, strides, slab_rois, slab_levels,
             resolution, sampling_ratio)              # (B·T, K, P, P, C)
         c = pooled.shape[-1]

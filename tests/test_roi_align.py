@@ -212,3 +212,70 @@ def test_dense_grad_flows():
     g = jax.grad(lambda f: jnp.sum(roi_align_dense(f, rois) ** 2))(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_gather_multilevel_matches_dense():
+    """The gather form must be numerically interchangeable with the dense
+    two-einsum form (same Detectron sampling semantics) on random
+    multi-level RoIs, including out-of-bounds and degenerate boxes."""
+    from detectandtrack_tpu.kernels.roi_align import (
+        roi_align_multilevel_dense, roi_align_multilevel_gather)
+    rng = np.random.default_rng(11)
+    feats = [jnp.asarray(rng.normal(size=(2, 40 // 2 ** i, 48 // 2 ** i,
+                                          8)).astype(np.float32))
+             for i in range(3)]
+    strides = [4, 8, 16]
+    rois = rng.uniform(-20, 170, size=(2, 7, 4)).astype(np.float32)
+    rois[..., 2:] = rois[..., :2] + rng.uniform(0, 120, size=(2, 7, 2))
+    rois[0, 3] = [5.0, 5.0, 5.0, 5.0]          # degenerate (zero-size) box
+    rois = jnp.asarray(rois)
+    levels = jnp.asarray(rng.integers(0, 3, size=(2, 7)), jnp.int32)
+    a = np.asarray(roi_align_multilevel_dense(feats, strides, rois, levels,
+                                              7, 2))
+    b = np.asarray(roi_align_multilevel_gather(feats, strides, rois, levels,
+                                               7, 2))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_gather_multilevel_grad_flows():
+    from detectandtrack_tpu.kernels.roi_align import (
+        roi_align_multilevel_gather)
+    feats = [jnp.ones((1, 16, 16, 4)), jnp.ones((1, 8, 8, 4))]
+    rois = jnp.asarray([[[2.0, 2.0, 12.0, 12.0], [1.0, 1.0, 14.0, 14.0]]])
+    levels = jnp.asarray([[0, 1]], jnp.int32)
+    g = jax.grad(lambda f: jnp.sum(roi_align_multilevel_gather(
+        [f, feats[1]], [4, 8], rois, levels) ** 2))(feats[0])
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_hybrid_multilevel_matches_dense():
+    from detectandtrack_tpu.kernels.roi_align import (
+        roi_align_multilevel_dense, roi_align_multilevel_hybrid)
+    rng = np.random.default_rng(12)
+    feats = [jnp.asarray(rng.normal(size=(2, 40 // 2 ** i, 48 // 2 ** i,
+                                          8)).astype(np.float32))
+             for i in range(3)]
+    strides = [4, 8, 16]
+    rois = rng.uniform(-20, 170, size=(2, 7, 4)).astype(np.float32)
+    rois[..., 2:] = rois[..., :2] + rng.uniform(0, 120, size=(2, 7, 2))
+    rois[1, 2] = [3.0, 3.0, 3.0, 3.0]
+    rois = jnp.asarray(rois)
+    levels = jnp.asarray(rng.integers(0, 3, size=(2, 7)), jnp.int32)
+    a = np.asarray(roi_align_multilevel_dense(feats, strides, rois, levels,
+                                              7, 2))
+    b = np.asarray(roi_align_multilevel_hybrid(feats, strides, rois, levels,
+                                               7, 2))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_hybrid_chunked_matches_unchunked():
+    from detectandtrack_tpu.kernels.roi_align import roi_align_hybrid
+    rng = np.random.default_rng(13)
+    feat = jnp.asarray(rng.normal(size=(2, 24, 24, 8)).astype(np.float32))
+    rois = rng.uniform(0, 20, size=(2, 21, 4)).astype(np.float32)
+    rois[..., 2:] = rois[..., :2] + rng.uniform(2, 14, size=(2, 21, 2))
+    rois = jnp.asarray(rois)
+    a = np.asarray(roi_align_hybrid(feat, rois, 7, 2, 1.0, chunk=8))
+    b = np.asarray(roi_align_hybrid(feat, rois, 7, 2, 1.0, chunk=None))
+    np.testing.assert_allclose(a, b, atol=1e-5)

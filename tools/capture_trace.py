@@ -1,0 +1,46 @@
+"""Capture a jax.profiler trace of the inference hot loop (one artifact per
+bucket). Usage: python tools/capture_trace.py [HxW] [batch] [outdir]
+
+Keeps the committed trace artifacts under artifacts/ reproducible: same
+detector build path as bench.py, 3 traced iterations after warmup.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from detectandtrack_tpu.core.config import load_cfg
+    from detectandtrack_tpu.models.detector import build_model
+    from detectandtrack_tpu.utils.profiling import trace, force_outputs
+
+    bucket = sys.argv[1] if len(sys.argv) > 1 else "800x1344"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    bh, bw = (int(x) for x in bucket.split("x"))
+    outdir = (sys.argv[3] if len(sys.argv) > 3
+              else f"artifacts/trace_{bucket}_b{batch}")
+    cfg = load_cfg(opts=[
+        "VIDEO.VIDEO_ON", True, "VIDEO.NUM_FRAMES", 8,
+        "VIDEO.TIME_KERNEL_DIM", "[3, 3, 3, 3, 1]",
+        "TEST.SHAPE_BUCKETS", f"[[{bh}, {bw}]]",
+        "TEST.SCORE_THRESH", 0.0,
+    ])
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    clips = jnp.asarray(rng.normal(size=(batch, 8, bh, bw, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clips[:1])
+    det = jax.jit(lambda p, c: model.apply(p, c))
+    force_outputs(det(params, clips))        # compile + warm
+    force_outputs(det(params, clips))
+    with trace(outdir):
+        for _ in range(3):
+            force_outputs(det(params, clips))
+    print("trace written to", outdir)
+
+
+if __name__ == "__main__":
+    main()
