@@ -90,6 +90,7 @@ class GeneralizedRCNN(nn.Module):
                 stride_1x1=cfg.RESNETS.STRIDE_1X1,
                 dtype=dtype,
                 groups=cfg.RESNETS.NUM_GROUPS,
+                dilation=cfg.RESNETS.RES5_DILATION,
             )
         if cfg.MODEL.KEYPOINTS_ON:
             self.kps_head = KeypointHead(

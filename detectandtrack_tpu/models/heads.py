@@ -142,6 +142,9 @@ class Res5BoxHead(nn.Module):
     stride_1x1: bool = True
     dtype: Any = jnp.float32
     groups: int = 1                     # ResNeXt cardinality
+    # RESNETS.RES5_DILATION: dilated-C5 geometry — res5 keeps the pooled
+    # resolution (stride 1) with dilated 3x3s (lineage dilated conv5 head).
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):
@@ -151,11 +154,13 @@ class Res5BoxHead(nn.Module):
             x = Bottleneck(
                 features=self.width,
                 out_features=2048,
-                spatial_stride=2 if b == 0 else 1,
+                spatial_stride=(1 if self.dilation > 1 else 2)
+                if b == 0 else 1,
                 time_kernel=self.time_kernel,
                 stride_1x1=self.stride_1x1,
                 dtype=self.dtype,
                 groups=self.groups,
+                spatial_dilation=self.dilation,
                 name=f"res5_{b}",
             )(x)
         pooled = jnp.mean(x, axis=(2, 3))                 # (R, T, C)

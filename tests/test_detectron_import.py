@@ -226,3 +226,35 @@ def test_deconv_semantics_vs_torch():
     y = mod.apply({"params": {"kernel": jnp.asarray(k)}}, jnp.asarray(x))
     assert y.shape == ref.shape
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+
+def test_round_trip_resnext():
+    """Grouped (ResNeXt) conv kernels survive the export → import cycle:
+    the Caffe2 layout for grouped convs is (co, ci/groups, kh, kw) and the
+    transposes are shape-generic, so the round-trip must be exact."""
+    cfg = load_cfg(opts=[
+        "MODEL.CONV_BODY", "resnet50",
+        "MODEL.COMPUTE_DTYPE", "float32",
+        "RESNETS.NUM_GROUPS", 2, "RESNETS.WIDTH_PER_GROUP", 4,
+        "RPN.PRE_NMS_TOP_N_TEST", 64,
+        "RPN.POST_NMS_TOP_N_TEST", 16,
+        "TEST.DETECTIONS_PER_IM", 4,
+        "KRCNN.NUM_STACKED_CONVS", 2,
+        "KRCNN.CONV_HEAD_DIM", 32,
+        "TEST.SHAPE_BUCKETS", "[[64, 64]]",
+    ])
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, 1, 64, 64, 3)))
+    # grouped kernel really has the reduced in-channel axis
+    k = params["params"]["backbone"]["res2_0"]["b"]["conv"]["kernel"]
+    assert k.shape[-2] == 4  # inner 8 / groups 2
+    blobs = flax_params_to_blobs(params, cfg)
+    template = jax.tree.map(np.zeros_like, params)
+    imported, report = import_detectron_weights(blobs, template, cfg,
+                                                strict=True)
+    assert not report["missing"]
+    for (pa, a), (_, b) in zip(jax.tree.flatten_with_path(params)[0],
+                               jax.tree.flatten_with_path(imported)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pa))

@@ -259,3 +259,28 @@ def test_detector_keypoint_budget():
     assert kps.shape == (1, 5, 1, 15, 4)
     assert np.abs(kps[:, 2:]).sum() == 0       # beyond budget: zero-padded
     assert np.abs(kps[:, :2]).sum() > 0
+
+
+def test_detector_dilated_c5():
+    """RES5_DILATION=2 (C4 family): the res5 box head keeps the pooled
+    resolution (stride 1, dilated 3x3s) — lineage dilated-C5 geometry."""
+    cfg = load_cfg("configs/video/2d_R50_dilatedC5_kps.yaml", [
+        "MODEL.COMPUTE_DTYPE", "float32",
+        "RPN.PRE_NMS_TOP_N_TEST", 32,
+        "RPN.POST_NMS_TOP_N_TEST", 8,
+        "TEST.DETECTIONS_PER_IM", 4,
+        "KRCNN.NUM_STACKED_CONVS", 2,
+        "KRCNN.CONV_HEAD_DIM", 32,
+        "KRCNN.MAX_ROIS_PER_IM", 0,
+        "TEST.SHAPE_BUCKETS", "[[64, 64]]",
+        "TRAIN.DATASETS", "[]", "TEST.DATASETS", "[]",
+    ])
+    model = build_model(cfg)
+    clip = jnp.zeros((1, 1, 64, 64, 3))
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), clip))
+    # stride-1 res5_0: the proj conv maps 1024 -> 2048 without downsampling;
+    # presence of dilated kernels is structural, just check the tree exists
+    assert "res5_0" in shapes["params"]["box_head"]
+    out = jax.eval_shape(
+        lambda p: model.apply(p, clip), shapes)
+    assert out["boxes"].shape == (1, 4, 4)
