@@ -42,13 +42,14 @@ class ModelCfg:
     RPN_ONLY: bool = False
     # bfloat16 compute on the backbone/heads (params stay f32). TPU MXU-native.
     COMPUTE_DTYPE: str = "bfloat16"
-    # RoIAlign implementation: "dense" (two-einsum MXU form with W,C
-    # kept as separate free dims — the measured default), "hybrid"
-    # (einsum-y + corner-gather-x), or "gather" (pure corner gathers).
-    # All three are numerically interchangeable (tested); on v5e at
-    # 800x1344 dense won both head stages (box 106/155/126 ms
-    # dense/hybrid/gather; kps 91/168/198).
-    ROI_ALIGN_IMPL: str = "dense"
+    # RoIAlign implementation. "pallas" (default): single-launch
+    # multilevel patch kernel — per-roi 64x64 patch DMA + two in-VMEM
+    # matmuls, ~2.6-3.1x the dense path on v5e; falls back to "dense"
+    # off-TPU and for C4 (no FPN level bound on roi span). "dense"
+    # (two-einsum MXU form) is exact for any roi; "hybrid"/"gather" are
+    # measured-slower alternatives kept for study. All numerically
+    # interchangeable (tested).
+    ROI_ALIGN_IMPL: str = "pallas"
     # Frozen-BN as affine channels, as in Detectron lineage.
     FREEZE_BN: bool = True
 
@@ -429,9 +430,10 @@ def assert_and_infer_cfg(cfg: Config) -> Config:
 
     if cfg.MODEL.CONV_BODY not in ("resnet18", "resnet50", "resnet101"):
         raise ValueError(f"Unknown CONV_BODY {cfg.MODEL.CONV_BODY!r}")
-    if cfg.MODEL.ROI_ALIGN_IMPL not in ("hybrid", "gather", "dense"):
-        raise ValueError("MODEL.ROI_ALIGN_IMPL must be 'hybrid', 'gather' "
-                         "or 'dense'")
+    if cfg.MODEL.ROI_ALIGN_IMPL not in ("pallas", "hybrid", "gather",
+                                        "dense"):
+        raise ValueError("MODEL.ROI_ALIGN_IMPL must be 'pallas', 'hybrid', "
+                         "'gather' or 'dense'")
     if cfg.RESNETS.NUM_GROUPS < 1 or cfg.RESNETS.WIDTH_PER_GROUP < 1:
         raise ValueError("RESNETS.NUM_GROUPS/WIDTH_PER_GROUP must be >= 1")
     if cfg.RESNETS.NUM_GROUPS > 1 and cfg.MODEL.CONV_BODY == "resnet18":

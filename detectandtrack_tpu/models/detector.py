@@ -27,6 +27,7 @@ from ..kernels.roi_align import (
     roi_align_multilevel_dense,
     roi_align_multilevel_gather,
     roi_align_multilevel_hybrid,
+    roi_align_multilevel_pallas,
 )
 from ..ops import boxes as box_ops
 from ..ops.anchors import fpn_anchor_fields, generate_anchors, \
@@ -246,10 +247,17 @@ class GeneralizedRCNN(nn.Module):
                                  axis=1).reshape(b * t, k)
 
         flat_maps = [m.reshape((-1,) + m.shape[2:]) for m in maps]
-        align = {"hybrid": roi_align_multilevel_hybrid,
+        impl = cfg.MODEL.ROI_ALIGN_IMPL
+        if impl == "pallas" and not (
+                cfg.FPN.FPN_ON and jax.default_backend() == "tpu"):
+            # The Pallas kernel relies on FPN level assignment for its
+            # patch-span contract and on a real TPU backend; the dense
+            # einsum form is the exact-everywhere fallback.
+            impl = "dense"
+        align = {"pallas": roi_align_multilevel_pallas,
+                 "hybrid": roi_align_multilevel_hybrid,
                  "gather": roi_align_multilevel_gather,
-                 "dense": roi_align_multilevel_dense}[
-                     cfg.MODEL.ROI_ALIGN_IMPL]
+                 "dense": roi_align_multilevel_dense}[impl]
         pooled = align(
             flat_maps, strides, slab_rois, slab_levels,
             resolution, sampling_ratio)              # (B·T, K, P, P, C)

@@ -279,3 +279,50 @@ def test_hybrid_chunked_matches_unchunked():
     a = np.asarray(roi_align_hybrid(feat, rois, 7, 2, 1.0, chunk=8))
     b = np.asarray(roi_align_hybrid(feat, rois, 7, 2, 1.0, chunk=None))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_pallas_multilevel_matches_dense_interpret():
+    """Single-launch multilevel Pallas kernel == dense path (interpret mode;
+    maps smaller than the patch exercise the uniform-DMA H padding)."""
+    from detectandtrack_tpu.kernels.roi_align import (
+        roi_align_multilevel_dense, roi_align_multilevel_pallas)
+    rng = np.random.default_rng(21)
+    feats = [jnp.asarray(rng.normal(size=(3, 80 // 2 ** i, 96 // 2 ** i,
+                                          8)).astype(np.float32))
+             for i in range(3)]
+    strides = [4, 8, 16]
+    # Aspect <= 2 boxes sized for their level (the kernel's span contract).
+    rois = np.zeros((3, 6, 4), np.float32)
+    lv = rng.integers(0, 3, size=(3, 6))
+    for si in range(3):
+        for ri in range(6):
+            side = 40.0 * 2 ** lv[si, ri]
+            x1 = rng.uniform(-10, 300); y1 = rng.uniform(-10, 250)
+            rois[si, ri] = [x1, y1, x1 + side * rng.uniform(0.6, 1.8),
+                            y1 + side * rng.uniform(0.6, 1.8)]
+    rois = jnp.asarray(rois)
+    levels = jnp.asarray(lv, jnp.int32)
+    a = np.asarray(roi_align_multilevel_dense(feats, strides, rois, levels,
+                                              7, 2))
+    b = np.asarray(roi_align_multilevel_pallas(feats, strides, rois, levels,
+                                               7, 2, interpret=True))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_pallas_multilevel_grad_matches_dense():
+    """The custom vjp (dense-path backward) matches the dense gradient."""
+    from detectandtrack_tpu.kernels.roi_align import (
+        roi_align_multilevel_dense, roi_align_multilevel_pallas)
+    feats = [jnp.ones((1, 16, 16, 4)), jnp.ones((1, 8, 8, 4))]
+    rois = jnp.asarray([[[2.0, 2.0, 12.0, 12.0], [1.0, 1.0, 14.0, 14.0]]])
+    levels = jnp.asarray([[0, 1]], jnp.int32)
+
+    def loss(fn, f0):
+        return jnp.sum(fn([f0, feats[1]], [4, 8], rois, levels, 7, 2) ** 2)
+
+    gd = jax.grad(lambda f: loss(
+        lambda *a: roi_align_multilevel_dense(*a), f))(feats[0])
+    gp = jax.grad(lambda f: loss(
+        lambda *a: roi_align_multilevel_pallas(*a, interpret=True),
+        f))(feats[0])
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gp), atol=1e-4)
