@@ -112,6 +112,69 @@ class ConvAffine(nn.Module):
         return AffineChannel(self.features, dtype=self.dtype, name="bn")(x)
 
 
+class _Conv1Kernel(nn.Module):
+    """Holds conv1's canonical (t, 7, 7, 3, 64) kernel so the param tree
+    (conv1/conv/kernel) is identical whether or not the space-to-depth
+    fast path is active (checkpoints/importers see one layout)."""
+
+    time_kernel: int = 1
+
+    @nn.compact
+    def __call__(self):
+        init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+        return self.param("kernel", init, (self.time_kernel, 7, 7, 3, 64))
+
+
+class Conv1S2D(nn.Module):
+    """conv1 as space-to-depth: 7×7/s2 on C=3 is MXU-hostile (3/128 lanes;
+    ~6% MFU, the single most expensive op in the r2 800×1344 trace). The
+    exact equivalent: 2×2-block the input to 12 channels and run a 4×4/s1
+    conv whose kernel K'[by, bx, (py, px, c)] = K[2·by+py−1, 2·bx+px−1]
+    (zero where the tap falls outside the 7×7 support), with asymmetric
+    (2, 1) padding — the MLPerf ResNet conv1 trick, provably identical
+    output (tested vs the plain path)."""
+
+    time_kernel: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        t = self.time_kernel
+        k = _Conv1Kernel(time_kernel=t, name="conv")()
+        b, tt, h, w, _ = x.shape
+        if h % 2 or w % 2:                  # odd sizes: plain path
+            pads = [((t - 1) // 2, t // 2), (3, 3), (3, 3)]
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype),
+                window_strides=(1, 2, 2), padding=pads,
+                dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+            return AffineChannel(64, dtype=self.dtype, name="bn")(y)
+
+        # Scatter K (t,7,7,3,64) → K' (t,4,4,2,2,3,64) by tap parity.
+        kp = jnp.zeros((t, 4, 4, 2, 2, 3, 64), k.dtype)
+        for by in range(4):
+            for py in range(2):
+                dy = 2 * by + py - 1
+                if not 0 <= dy < 7:
+                    continue
+                for bx in range(4):
+                    for px in range(2):
+                        dx = 2 * bx + px - 1
+                        if 0 <= dx < 7:
+                            kp = kp.at[:, by, bx, py, px].set(k[:, dy, dx])
+        kp = kp.reshape(t, 4, 4, 12, 64)
+
+        xs = x.reshape(b, tt, h // 2, 2, w // 2, 2, 3)
+        xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, tt, h // 2, w // 2, 12)
+        y = jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), kp.astype(self.dtype),
+            window_strides=(1, 1, 1),
+            padding=[((t - 1) // 2, t // 2), (2, 1), (2, 1)],
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+        return AffineChannel(64, dtype=self.dtype, name="bn")(y)
+
+
 class Bottleneck(nn.Module):
     """1x1 → txkxk → 1x1 bottleneck; stride on the 1x1 (Caffe/Detectron
     convention, RESNETS.STRIDE_1X1) or on the 3x3."""
@@ -211,8 +274,7 @@ class ResNet(nn.Module):
         expansion = 1 if basic else 4
 
         tk1 = self.time_kernels[0]
-        y = ConvAffine(64, (tk1, 7, 7), (1, 2, 2),
-                       dtype=self.dtype, name="conv1")(x)
+        y = Conv1S2D(time_kernel=tk1, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(y)
         y = nn.max_pool(y, (1, 3, 3), strides=(1, 2, 2),
                         padding=((0, 0), (1, 1), (1, 1)))

@@ -284,3 +284,30 @@ def test_detector_dilated_c5():
     out = jax.eval_shape(
         lambda p: model.apply(p, clip), shapes)
     assert out["boxes"].shape == (1, 4, 4)
+
+
+def test_conv1_space_to_depth_exact():
+    """Conv1S2D (2x2 space-to-depth + 4x4/s1 scattered kernel) must equal
+    the plain 7x7/s2 conv1 bitwise-close, sharing the SAME param tree."""
+    from detectandtrack_tpu.models.backbone import Conv1S2D
+    rng = np.random.default_rng(3)
+    for t, T in ((1, 1), (3, 4)):
+        x = jnp.asarray(rng.normal(size=(2, T, 32, 48, 3)), jnp.float32)
+        plain = ConvAffine(64, (t, 7, 7), (1, 2, 2))
+        s2d = Conv1S2D(time_kernel=t)
+        p = s2d.init(jax.random.PRNGKey(0), x)
+        # param tree is interchangeable between the two modules
+        rngp = jax.random.normal(jax.random.PRNGKey(1),
+                                 p["params"]["conv"]["kernel"].shape)
+        p = jax.tree.map(lambda a: a, p)
+        p["params"]["conv"]["kernel"] = rngp
+        out_plain = plain.apply(p, x)
+        out_s2d = s2d.apply(p, x)
+        assert out_plain.shape == out_s2d.shape == (2, T, 16, 24, 64)
+        np.testing.assert_allclose(np.asarray(out_plain),
+                                   np.asarray(out_s2d), atol=1e-4)
+    # odd spatial size falls back to the plain path (still correct)
+    x = jnp.asarray(rng.normal(size=(1, 1, 31, 33, 3)), jnp.float32)
+    s2d = Conv1S2D(time_kernel=1)
+    p = s2d.init(jax.random.PRNGKey(0), x)
+    assert s2d.apply(p, x).shape == (1, 1, 16, 17, 64)
