@@ -79,15 +79,33 @@ class Conv3d(nn.Module):
         # (k-1)·d + 1 keeps the spatial/temporal extent.
         pads = [(((k - 1) * d) // 2, ((k - 1) * d + 1) // 2)
                 for k, d in zip(self.kernel, self.dilation)]
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=self.strides,
-            padding=pads,
-            rhs_dilation=self.dilation,
-            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
-            feature_group_count=self.groups,
-        )
+        if t == 1 and self.strides[0] == 1 and self.dilation[0] == 1:
+            # Per-frame (t=1) convs run as 4-D convs with batch B·T: the
+            # TPU conv emitter packs the batch dim into sublanes, and a
+            # 5-D form leaves it at B (2-4) — B·T (16+) fills them. The
+            # (B, T) merge/split is a free view. (r2 trace: the FPN
+            # posthoc P2 conv ran at 15% MFU in the 5-D form.)
+            b, tt, h, w, cin = x.shape
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype).reshape(b * tt, h, w, cin),
+                kernel[0].astype(self.dtype),
+                window_strides=self.strides[1:],
+                padding=pads[1:],
+                rhs_dilation=self.dilation[1:],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            )
+            y = y.reshape(b, tt, y.shape[1], y.shape[2], y.shape[3])
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=self.strides,
+                padding=pads,
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+                feature_group_count=self.groups,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(self.dtype)
