@@ -96,6 +96,30 @@ class Conv3d(nn.Module):
                 feature_group_count=self.groups,
             )
             y = y.reshape(b, tt, y.shape[1], y.shape[2], y.shape[3])
+        elif self.strides[0] == 1:
+            # Temporal (t>1) convs: decompose into t time-shifted 4-D convs
+            # summed — exact (same taps, same same-padding), same FLOPs,
+            # but each 2-D conv runs with batch B·T filling the sublanes
+            # (the 5-D form leaves batch at B; see the t=1 note above).
+            b, tt, h, w, cin = x.shape
+            d_t = self.dilation[0]
+            lpad, rpad = pads[0]
+            xp = jnp.pad(x.astype(self.dtype),
+                         ((0, 0), (lpad, rpad), (0, 0), (0, 0), (0, 0)))
+            y = None
+            for kt in range(t):
+                xs = jax.lax.dynamic_slice_in_dim(xp, kt * d_t, tt, axis=1)
+                yk = jax.lax.conv_general_dilated(
+                    xs.reshape(b * tt, h, w, cin),
+                    kernel[kt].astype(self.dtype),
+                    window_strides=self.strides[1:],
+                    padding=pads[1:],
+                    rhs_dilation=self.dilation[1:],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=self.groups,
+                )
+                y = yk if y is None else y + yk
+            y = y.reshape(b, tt, y.shape[1], y.shape[2], y.shape[3])
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),

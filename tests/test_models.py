@@ -311,3 +311,24 @@ def test_conv1_space_to_depth_exact():
     s2d = Conv1S2D(time_kernel=1)
     p = s2d.init(jax.random.PRNGKey(0), x)
     assert s2d.apply(p, x).shape == (1, 1, 16, 17, 64)
+
+
+def test_temporal_conv_shift_decomposition_exact():
+    """The t>1 shifted-4D-conv decomposition == the direct 5-D conv,
+    including temporal dilation (DILATE_TIME) and spatial stride."""
+    from detectandtrack_tpu.models.backbone import Conv3d
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 5, 12, 16, 6)), jnp.float32)
+    for tdil, sstr in ((1, 1), (2, 1), (1, 2)):
+        m = Conv3d(8, (3, 3, 3), (1, sstr, sstr),
+                   dilation=(tdil, 1, 1))
+        p = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(p, x)
+        k = p["params"]["kernel"]
+        pads = [(((kk - 1) * d) // 2, ((kk - 1) * d + 1) // 2)
+                for kk, d in zip((3, 3, 3), (tdil, 1, 1))]
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, sstr, sstr), pads, rhs_dilation=(tdil, 1, 1),
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, err_msg=f"tdil={tdil}")
