@@ -198,7 +198,16 @@ def mode_test(args, cfg):
     if args.subprocess_shards and args.subprocess_shards > 1:
         # Cross-process fan-out (parity: test_engine.
         # multi_gpu_test_net_on_dataset + utils/subprocess.py): each child
-        # handles a disjoint video range; merge = dict union.
+        # handles a disjoint video range; merge = dict union. Children
+        # re-load the experiment from --cfg, so one is required (dotted
+        # `opts` alone cannot be round-tripped through a None argv entry).
+        # Note: each child initializes its own jax backend — on a TPU host
+        # the chip's exclusive lock serializes them; this path is for
+        # CPU/multi-GPU hosts.
+        if not args.cfg:
+            raise SystemExit(
+                "--subprocess-shards requires --cfg (children re-parse the "
+                "experiment YAML)")
         from ..utils.subprocess_utils import process_in_parallel
         n_videos = len(ds.videos())
         cmd = [sys.executable, "-m", "detectandtrack_tpu.cli.launch",

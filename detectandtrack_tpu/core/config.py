@@ -47,8 +47,11 @@ class ModelCfg:
     # matmuls, ~2.6-3.1x the dense path on v5e; falls back to "dense"
     # off-TPU and for C4 (no FPN level bound on roi span). "dense"
     # (two-einsum MXU form) is exact for any roi; "hybrid"/"gather" are
-    # measured-slower alternatives kept for study. All numerically
-    # interchangeable (tested).
+    # measured-slower alternatives kept for study. Equivalence-tested, with
+    # one caveat: the pallas kernel window-clips RoIs wider than 56 cells at
+    # their FPN level (aspect >4:1), where it is approximate (and training
+    # pairs that clipped forward with an exact dense backward); "dense" is
+    # exact everywhere.
     ROI_ALIGN_IMPL: str = "pallas"
     # Frozen-BN as affine channels, as in Detectron lineage.
     FREEZE_BN: bool = True
@@ -272,8 +275,13 @@ class TrackingCfg:
     MAX_COST: float = 0.9
     # Keep-alive: frames a track survives unmatched before being killed.
     MAX_AGE: int = 1
-    # PCKh distance normalization factor (fraction of box diagonal).
+    # PCKh distance normalization factor (fraction of the PCKH_NORM length).
     PCKH_THRESH: float = 0.2
+    # PCKh normalization length: "box-diag" (previous box diagonal — a
+    # GT-independent proxy; the reference normalizes by head segment
+    # length, unavailable at inference) | "kps-span" (previous pose's
+    # keypoint extent diagonal).
+    PCKH_NORM: str = "box-diag"
     # Optional native (C++) assignment solver; falls back to scipy.
     USE_NATIVE_SOLVER: bool = True
 
@@ -452,6 +460,16 @@ def assert_and_infer_cfg(cfg: Config) -> Config:
     if cfg.SOLVER.TYPE != "sgd":
         raise ValueError(f"SOLVER.TYPE {cfg.SOLVER.TYPE!r}: only 'sgd' "
                          "(the reference's optimizer) is implemented")
+    if cfg.TRACKING.PCKH_NORM not in ("box-diag", "kps-span"):
+        raise ValueError(
+            f"TRACKING.PCKH_NORM {cfg.TRACKING.PCKH_NORM!r}: must be "
+            "'box-diag' or 'kps-span'")
+    if not cfg.TRAIN.RPN_ON:
+        raise ValueError(
+            "TRAIN.RPN_ON=False is unsupported: the lineage's RPN-off mode "
+            "trains against precomputed proposals, and no precomputed-"
+            "proposal path exists here — the RPN is always part of the one "
+            "XLA train graph")
     # TRANS_FUNC is derived from the depth (basic for R-18, bottleneck for
     # R-50/101 — the lineage's per-depth block choice).
     expected_trans = ("basic" if cfg.MODEL.CONV_BODY == "resnet18"

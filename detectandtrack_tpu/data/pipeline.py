@@ -31,6 +31,10 @@ class ClipSpec:
     video_id: str
     start: int
     flipped: bool = False
+    # Per-clip sampled TRAIN.SCALES entry (multi-scale train jitter —
+    # parity: roi_data/minibatch samples a random scale per minibatch).
+    # None → use the caller's default target scale.
+    scale_target: Optional[int] = None
 
 
 def choose_scale(h: int, w: int, target: int, max_size: int) -> float:
@@ -221,7 +225,8 @@ class ClipBatcher:
     def _bucket_for(self, spec: ClipSpec) -> Tuple[int, int]:
         cfg = self.cfg
         fr = self.ds.video_frames(spec.video_id)[spec.start]
-        target = cfg.TRAIN.SCALES[0] if self.train else cfg.TEST.SCALE
+        target = spec.scale_target or (
+            cfg.TRAIN.SCALES[0] if self.train else cfg.TEST.SCALE)
         max_size = cfg.TRAIN.MAX_SIZE if self.train else cfg.TEST.MAX_SIZE
         scale = choose_scale(fr.height or 1, fr.width or 1, target, max_size)
         sh = int(round((fr.height or 1) * scale))
@@ -237,9 +242,21 @@ class ClipBatcher:
         specs = self.specs()
         if self.train:
             self.rng.shuffle(specs)
+            if len(cfg.TRAIN.SCALES) > 1:
+                # Multi-scale train jitter: sample a TRAIN.SCALES entry per
+                # clip per epoch (seeded rng), as the reference samples a
+                # random scale per minibatch (roi_data/minibatch
+                # `_get_image_blob`). The bucket is chosen for the sampled
+                # scale, so jittered clips still batch whole-bucket.
+                import dataclasses as _dc
+                scales = list(cfg.TRAIN.SCALES)
+                specs = [_dc.replace(
+                    s, scale_target=int(scales[self.rng.integers(
+                        len(scales))])) for s in specs]
         buckets = [tuple(b) for b in cfg.TEST.SHAPE_BUCKETS]
         batches = []
-        if self.train and cfg.TRAIN.ASPECT_GROUPING and len(buckets) > 1:
+        if self.train and cfg.TRAIN.ASPECT_GROUPING and (
+                len(buckets) > 1 or len(cfg.TRAIN.SCALES) > 1):
             groups: Dict[Tuple[int, int], List[ClipSpec]] = {}
             for s in specs:
                 groups.setdefault(self._bucket_for(s), []).append(s)
@@ -273,7 +290,7 @@ class ClipBatcher:
             return load_clip(
                 self.ds, spec, self.num_frames, self.stride,
                 cfg.DATA.PIXEL_MEANS, cfg.DATA.PIXEL_STDS,
-                target, max_size, bucket_hw=bucket,
+                spec.scale_target or target, max_size, bucket_hw=bucket,
                 max_gt=cfg.TRAIN.MAX_GT_PER_IM,
                 num_keypoints=cfg.KRCNN.NUM_KEYPOINTS,
                 gt_min_area=(cfg.TRAIN.GT_MIN_AREA if self.train else -1.0),

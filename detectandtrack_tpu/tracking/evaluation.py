@@ -266,9 +266,12 @@ def eval_box_ap(
         mpre = np.concatenate([[0.0], precision])
         for i in range(len(mpre) - 2, -1, -1):
             mpre[i] = max(mpre[i], mpre[i + 1])
+        # Trailing 0 sentinel: recall thresholds above the max achieved
+        # recall get precision 0 (pycocotools leaves those entries at 0),
+        # not the last achieved precision.
+        mpre = np.append(mpre, 0.0)
         q = np.linspace(0, 1, 101)
         idx = np.searchsorted(mrec, q, side="left")
-        idx = np.minimum(idx, len(mpre) - 1)
         aps.append(np.mean(mpre[idx]))
     aps = np.asarray(aps)
     return {
@@ -348,10 +351,13 @@ def eval_keypoint_ap_oks(
         mpre = np.concatenate([[0.0], precision])
         for i in range(len(mpre) - 2, -1, -1):
             mpre[i] = max(mpre[i], mpre[i + 1])
+        # Trailing 0 sentinel: recall thresholds above the max achieved
+        # recall get precision 0 (pycocotools leaves those entries at 0),
+        # not the last achieved precision.
+        mpre = np.append(mpre, 0.0)
         # 101-point interpolation (COCO)
         q = np.linspace(0, 1, 101)
         idx = np.searchsorted(mrec, q, side="left")
-        idx = np.minimum(idx, len(mpre) - 1)
         aps.append(np.mean(mpre[idx]))
     aps = np.asarray(aps)
     return {

@@ -50,20 +50,30 @@ def bbox_iou_cost(prev_boxes: np.ndarray, cur_boxes: np.ndarray) -> np.ndarray:
 
 def pckh_cost(prev_kps: np.ndarray, prev_boxes: np.ndarray,
               cur_kps: np.ndarray,
-              pckh_thresh: float = 0.2) -> np.ndarray:
+              pckh_thresh: float = 0.2,
+              norm: str = "box-diag") -> np.ndarray:
     """Pose distance: 1 - fraction of keypoints within a head-scaled radius.
 
-    prev/cur_kps: (N, K, >=2). Normalization uses the previous box diagonal
-    (PCKh-style; the reference normalizes by head segment length — box
-    diagonal is the available proxy when head annotations are absent).
-    `pckh_thresh` (TRACKING.PCKH_THRESH) is the fraction of the diagonal.
+    prev/cur_kps: (N, K, >=2). The reference normalizes by head segment
+    length, which needs GT head boxes and is unavailable at inference;
+    `norm` (TRACKING.PCKH_NORM) selects the GT-independent proxy:
+    "box-diag" (previous box diagonal) or "kps-span" (previous pose's
+    keypoint extent diagonal). `pckh_thresh` (TRACKING.PCKH_THRESH) is the
+    fraction of that length.
     """
     p, c = len(prev_kps), len(cur_kps)
     if p == 0 or c == 0:
         return np.zeros((p, c), np.float64)
-    diag = np.sqrt(
-        (prev_boxes[:, 2] - prev_boxes[:, 0]) ** 2
-        + (prev_boxes[:, 3] - prev_boxes[:, 1]) ** 2)
+    if norm == "kps-span":
+        diag = np.sqrt(
+            np.ptp(prev_kps[:, :, 0], axis=1) ** 2
+            + np.ptp(prev_kps[:, :, 1], axis=1) ** 2)
+    elif norm == "box-diag":
+        diag = np.sqrt(
+            (prev_boxes[:, 2] - prev_boxes[:, 0]) ** 2
+            + (prev_boxes[:, 3] - prev_boxes[:, 1]) ** 2)
+    else:
+        raise ValueError(f"Unknown PCKH_NORM {norm!r}")
     thresh = pckh_thresh * np.maximum(diag, 1.0)
     d = np.linalg.norm(prev_kps[:, None, :, :2] - cur_kps[None, :, :, :2],
                        axis=-1)                                  # (P, C, K)
@@ -129,6 +139,7 @@ class TrackerConfig:
     max_cost: float = 0.9                     # no link above this
     max_age: int = 1                          # keep-alive frames
     pckh_thresh: float = 0.2                  # TRACKING.PCKH_THRESH
+    pckh_norm: str = "box-diag"               # TRACKING.PCKH_NORM
     use_native: bool = True                   # TRACKING.USE_NATIVE_SOLVER
 
 
@@ -149,6 +160,7 @@ class Tracker:
             max_cost=cfg.TRACKING.MAX_COST,
             max_age=cfg.TRACKING.MAX_AGE,
             pckh_thresh=cfg.TRACKING.PCKH_THRESH,
+            pckh_norm=cfg.TRACKING.PCKH_NORM,
             use_native=cfg.TRACKING.USE_NATIVE_SOLVER,
         ))
 
@@ -166,7 +178,8 @@ class Tracker:
                 raise ValueError("pose-pckh metric needs keypoints")
             prev_kps = np.array([t.keypoints for t in self.tracks])
             return pckh_cost(prev_kps, prev_boxes, keypoints,
-                             self.config.pckh_thresh)
+                             self.config.pckh_thresh,
+                             self.config.pckh_norm)
         if metric == "cnn-cosine":
             if features is None:
                 raise ValueError("cnn-cosine metric needs features")

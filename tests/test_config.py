@@ -120,6 +120,7 @@ def test_unsupported_combos_fail_loudly():
         ["KRCNN.HEATMAP_SIZE", 48],
         ["FAST_RCNN.ROI_XFORM_METHOD", "RoIPool"],
         ["RESNETS.RES5_DILATION", 2],     # with FPN on
+        ["TRAIN.RPN_ON", False],          # no precomputed-proposal path
     ):
         with pytest.raises(ValueError):
             load_cfg(opts=opts)

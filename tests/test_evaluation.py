@@ -129,3 +129,25 @@ def test_box_ap_duplicate_detection_is_fp():
                      (gt.copy(), 0.8)]}
     m = eval_box_ap(preds, {"im0": [gt]})
     assert m["AP50"] == 50.0
+
+
+def test_box_ap_truncated_recall_not_inflated():
+    """ADVICE r2 (high): recall thresholds above max achieved recall must
+    contribute precision 0 (pycocotools), not the last achieved precision.
+
+    1 perfect pred vs 2 GTs: recall caps at 0.5 with precision 1 →
+    101-point AP = 51/101 ~= 50.5, NOT 100."""
+    from detectandtrack_tpu.tracking.evaluation import eval_box_ap
+    b = lambda *xs: np.array(xs, np.float64)
+    gts = {"im0": [b(0, 0, 10, 10), b(50, 50, 70, 70)]}
+    preds = {"im0": [(b(0, 0, 10, 10), 0.9)]}
+    m = eval_box_ap(preds, gts)
+    assert abs(m["AP50"] - 100.0 * 51 / 101) < 1e-6
+
+
+def test_oks_ap_truncated_recall_not_inflated():
+    """Same sentinel rule for the OKS keypoint AP path."""
+    gts = {"im1": [_pose(), _pose(offset=300)]}
+    preds = {"im1": [_pose(score=0.9)]}
+    res = eval_keypoint_ap_oks(preds, gts)
+    assert abs(res["AP50"] - 100.0 * 51 / 101) < 1e-6

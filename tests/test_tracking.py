@@ -113,3 +113,34 @@ def test_greedy_vs_hungarian_configurable():
     trg = Tracker(TrackerConfig(algo="greedy", score_thresh=0.0))
     trh = Tracker(TrackerConfig(algo="hungarian", score_thresh=0.0))
     assert trg.config.algo == "greedy" and trh.config.algo == "hungarian"
+
+
+def test_pckh_norm_options():
+    """TRACKING.PCKH_NORM: box-diag vs kps-span normalizations (VERDICT r2
+    #9). A drift small vs the keypoint span but large vs a tight box
+    diagonal links under kps-span and not under box-diag."""
+    from detectandtrack_tpu.tracking.tracker import pckh_cost
+    prev_kps = np.zeros((1, 15, 3))
+    prev_kps[0, :, 0] = np.linspace(0, 100, 15)   # 100 px wide pose
+    prev_kps[0, :, 1] = np.linspace(0, 60, 15)
+    prev_box = np.array([[40.0, 20.0, 50.0, 30.0]])  # tiny box: diag ~14
+    cur_kps = prev_kps.copy()
+    cur_kps[..., 0] += 8.0                        # 8 px drift
+    c_box = pckh_cost(prev_kps, prev_box, cur_kps, 0.2, norm="box-diag")
+    c_span = pckh_cost(prev_kps, prev_box, cur_kps, 0.2, norm="kps-span")
+    # box-diag thresh = 0.2*14 ~= 2.8 < 8 -> no joints match
+    assert c_box[0, 0] == 1.0
+    # kps-span thresh = 0.2*hypot(100,60) ~= 23 > 8 -> all joints match
+    assert c_span[0, 0] == 0.0
+    with pytest.raises(ValueError):
+        pckh_cost(prev_kps, prev_box, cur_kps, 0.2, norm="head")
+
+
+def test_pckh_norm_from_cfg():
+    from detectandtrack_tpu.core.config import load_cfg
+    from detectandtrack_tpu.tracking.tracker import Tracker
+    cfg = load_cfg(opts=["TRACKING.DISTANCE_METRIC", "pose-pckh",
+                         "TRACKING.PCKH_NORM", "kps-span"])
+    assert Tracker.from_cfg(cfg).config.pckh_norm == "kps-span"
+    with pytest.raises(ValueError):
+        load_cfg(opts=["TRACKING.PCKH_NORM", "head-box"])
