@@ -9,6 +9,7 @@ Usage:
   launch --cfg configs/video/foo.yaml --mode train [KEY VALUE]...
   launch --cfg ... --mode test --weights ckpt.npz
   launch --cfg ... --mode track --detections dets.npz
+  launch --cfg ... --mode stream --weights ckpt.npz   (online detect+track)
   launch --mode demo-data --out data/synthetic   (generate synthetic data)
 """
 
@@ -29,8 +30,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="DetectAndTrack-TPU launcher")
     p.add_argument("--cfg", default=None, help="experiment YAML")
     p.add_argument("--mode", required=True,
-                   choices=["train", "test", "track", "bench", "demo-data",
-                            "import-weights"])
+                   choices=["train", "test", "track", "stream", "bench",
+                            "demo-data", "import-weights"])
     p.add_argument("--weights", default=None,
                    help="npz weights (overrides cfg TRAIN/TEST.WEIGHTS)")
     p.add_argument("--detections", default=None,
@@ -253,19 +254,12 @@ def mode_test(args, cfg):
     return out
 
 
-def mode_track(args, cfg):
-    from ..tracking.engine import (evaluate_tracking, run_posetrack_tracking,
-                                   write_posetrack_results)
+def _finish_tracking(args, cfg, tracked, logger):
+    """Shared tail of track/stream modes: write PoseTrack-format results,
+    optional visualization, evaluate when GT is available."""
+    from ..tracking.engine import evaluate_tracking, write_posetrack_results
     from ..tracking.evaluation import PoseAnnotation
-    from ..utils.logging_utils import setup_logging
 
-    logger = setup_logging()
-    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
-    det_path = args.detections or os.path.join(cfg.OUTPUT_DIR,
-                                               "detections.pkl")
-    with open(det_path, "rb") as f:
-        dets = pickle.load(f)
-    tracked = run_posetrack_tracking(dets, cfg=cfg)
     out_dir = os.path.join(cfg.OUTPUT_DIR, "tracks")
     paths = write_posetrack_results(tracked, out_dir)
     logger.info("wrote %d track files to %s", len(paths), out_dir)
@@ -298,6 +292,62 @@ def mode_track(args, cfg):
                   "w") as f:
             json.dump(metrics, f, indent=2)
     return out_dir
+
+
+def mode_track(args, cfg):
+    from ..tracking.engine import run_posetrack_tracking
+    from ..utils.logging_utils import setup_logging
+
+    logger = setup_logging()
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    det_path = args.detections or os.path.join(cfg.OUTPUT_DIR,
+                                               "detections.pkl")
+    with open(det_path, "rb") as f:
+        dets = pickle.load(f)
+    tracked = run_posetrack_tracking(dets, cfg=cfg)
+    return _finish_tracking(args, cfg, tracked, logger)
+
+
+def mode_stream(args, cfg):
+    """Online detect→track in ONE pass (BASELINE config 5 streaming).
+
+    The detector streams clips through the shape buckets; every consumed
+    batch's detections are fed straight from the device buffers to the
+    per-video Hungarian trackers while the chip works on the next batch —
+    no detections.pkl intermediary (parity: the reference's two-stage
+    test_engine→tracking_engine pipeline collapsed into one online pass;
+    results are identical to test+track, asserted in tests/test_stream.py).
+    """
+    import jax
+    from ..engine.inference import run_inference
+    from ..parallel.mesh import make_mesh
+    from ..tracking.engine import StreamingTrackingSink
+    from ..utils.logging_utils import setup_logging
+
+    logger = setup_logging()
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    ds = _dataset(cfg, cfg.TEST.DATASETS or cfg.TRAIN.DATASETS)
+    model, params = _init_model(cfg, args.weights or cfg.TEST.WEIGHTS
+                                or None, cfg.RNG_SEED)
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    vrange = None
+    if args.video_range:
+        lo, hi = args.video_range.split(":")
+        vrange = (int(lo), int(hi))
+    sink = StreamingTrackingSink(cfg=cfg)
+    t0 = time.time()
+    dets = run_inference(cfg, model, params, ds, max_clips=args.max_clips,
+                         mesh=mesh, video_range=vrange, frame_sink=sink)
+    tracked = sink.results()
+    dt = time.time() - t0
+    n_frames = sum(len(v) for v in tracked.values())
+    logger.info("streamed detect+track over %d frames in %.1fs (%.2f fps)",
+                n_frames, dt, n_frames / max(dt, 1e-9))
+    if args.det_out:                      # optional detections artifact
+        with open(args.det_out, "wb") as f:
+            pickle.dump(dets, f)
+        logger.info("wrote %s", args.det_out)
+    return _finish_tracking(args, cfg, tracked, logger)
 
 
 def _write_vis(cfg, tracked, logger):
@@ -393,6 +443,8 @@ def main(argv=None):
         return mode_test(args, cfg)
     if args.mode == "track":
         return mode_track(args, cfg)
+    if args.mode == "stream":
+        return mode_stream(args, cfg)
     if args.mode == "demo-data":
         return mode_demo_data(args, cfg)
     if args.mode == "import-weights":

@@ -29,21 +29,35 @@ from ..data.posetrack import PosetrackDataset
 from ..models.detector import GeneralizedRCNN
 
 
-def make_detect_fn(model: GeneralizedRCNN, mesh=None):
+def make_detect_fn(model: GeneralizedRCNN, mesh=None,
+                   flip_tta: bool = False):
     """Jitted `detect(params, clips) → {boxes, scores, valid, keypoints}`.
 
     With a mesh, the clip batch (dim 0) is sharded across the devices and
     params are replicated — the TPU-native form of the reference's
     one-subprocess-per-GPU `multi_gpu_test_net_on_dataset` (SURVEY §3.2):
     no process boundary, no pickle merge; XLA partitions the one program.
+
+    `flip_tta` switches to the detector's in-graph flip-TTA method (box
+    union + heatmap-level averaging — the reference's BBOX_AUG/KPS_AUG
+    'hm_avg' semantics) in the SAME single dispatch.
     """
 
     def detect(params, clips):
-        out = model.apply(params, clips)
+        out = (model.apply(params, clips,
+                           method=GeneralizedRCNN.detect_tta)
+               if flip_tta else model.apply(params, clips))
         keep = {"boxes": out["boxes"], "scores": out["scores"],
                 "valid": out["valid"], "features": out["features"]}
         if "keypoints" in out:
             keep["keypoints"] = out["keypoints"]
+        if "masks" in out:
+            # Device-side class select + sigmoid: the detector only emits
+            # person detections, so keep that channel's probabilities
+            # (last channel; C=1 for class-agnostic heads) — cuts the
+            # host transfer by C× (parity: im_detect_mask returns the
+            # per-class sigmoid, segm_results keeps the detection's class).
+            keep["masks"] = jax.nn.sigmoid(out["masks"][..., -1])
         return keep
 
     if mesh is None:
@@ -63,6 +77,8 @@ def clip_slice(det: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
         out["keypoints"] = np.asarray(det["keypoints"][i], np.float64)
     if "features" in det and det["features"] is not None:
         out["features"] = np.asarray(det["features"][i], np.float32)
+    if "masks" in det and det["masks"] is not None:
+        out["masks"] = np.asarray(det["masks"][i], np.float32)
     return out
 
 
@@ -96,6 +112,11 @@ def detections_to_frames(
         if "features" in det:
             # Appearance feature is per tube → shared across its frames.
             fr["features"] = np.asarray(det["features"], np.float32)
+        if "masks" in det:
+            # (D, S, S) RoI-frame sigmoid probs for this frame; paste into
+            # the image with ops.masks.paste_mask (masks are RoI-relative,
+            # so the coordinate rescale does not touch them).
+            fr["masks"] = np.asarray(det["masks"][:, t], np.float32)
         frames.append(fr)
     return frames
 
@@ -109,6 +130,7 @@ def run_inference(
     max_clips: Optional[int] = None,
     mesh=None,
     video_range: Optional[Tuple[int, int]] = None,
+    frame_sink=None,
 ) -> Dict[str, List[Dict[str, np.ndarray]]]:
     """Detect over the whole dataset → per-video per-frame detections.
 
@@ -121,6 +143,13 @@ def run_inference(
     (batch_size defaults to the device count) — the in-process form of the
     reference's subprocess-per-GPU inference sharding;
     `utils/subprocess_utils.py` remains as the cross-process fallback.
+
+    `frame_sink(vid, ordinal, total, frame_dict)` — when given, every
+    finished frame is ALSO streamed to the sink as soon as its batch is
+    consumed from the device, while the next batch is in flight (config 5
+    online mode; see `tracking.engine.StreamingTrackingSink`). A frame
+    covered by two windows (the end-aligned tail overlap) is sunk only
+    from its final writer, so sink contents == the returned dict.
     """
     from ..data.pipeline import choose_scale, pick_bucket
 
@@ -131,9 +160,10 @@ def run_inference(
         params = replicate(mesh, params)
     t = cfg.VIDEO.NUM_FRAMES if cfg.VIDEO.VIDEO_ON else 1
     stride = cfg.VIDEO.FRAME_STRIDE if cfg.VIDEO.VIDEO_ON else 1
-    detect = make_detect_fn(model, mesh)  # caches one program per bucket
-    buckets = [tuple(b) for b in cfg.TEST.SHAPE_BUCKETS]
     use_flip_aug = cfg.TEST.BBOX_AUG_ENABLED or cfg.TEST.KPS_AUG_ENABLED
+    # One program per bucket; flip TTA runs inside that same program.
+    detect = make_detect_fn(model, mesh, flip_tta=use_flip_aug)
+    buckets = [tuple(b) for b in cfg.TEST.SHAPE_BUCKETS]
     # Multi-scale TTA (BBOX_AUG_SCALES): every clip runs once per scale;
     # passes are merged (union + NMS) in original-image coordinates.
     aug_scales = (list(cfg.TEST.BBOX_AUG_SCALES)
@@ -167,10 +197,27 @@ def run_inference(
     if max_clips is not None:
         work = work[:max_clips]
 
+    # Streaming bookkeeping: which window is the FINAL writer of each frame
+    # (end-aligned tail windows overlap their predecessor), and each
+    # frame's ordinal in the video's sorted emit order.
+    winner: Dict[Tuple[str, int], int] = {}
+    ordinals: Dict[str, Dict[int, int]] = {}
+    if frame_sink is not None:
+        emitted: Dict[str, set] = {}
+        for vid, start in work:
+            n_vid = len(dataset.video_frames(vid))
+            for fi in range(t):
+                idx = start + fi * stride
+                if idx < n_vid:
+                    winner[(vid, idx)] = start
+                    emitted.setdefault(vid, set()).add(idx)
+        ordinals = {vid: {idx: i for i, idx in enumerate(sorted(s))}
+                    for vid, s in emitted.items()}
+
     results: Dict[str, Dict[int, Dict[str, np.ndarray]]] = {}
     acc: Dict[Tuple[str, int], List[Dict[str, np.ndarray]]] = {}
 
-    pending = []    # (device outputs, flipped outputs|None, metas)
+    pending = []    # (device outputs, metas, bucket)
 
     def emit(vid, start, single):
         # `single` is in ORIGINAL image coordinates already.
@@ -178,23 +225,20 @@ def run_inference(
         slot = results.setdefault(vid, {})
         n_vid = len(dataset.video_frames(vid))
         for fi, fr in enumerate(frames):
-            if start + fi * stride < n_vid:       # drop padded tail frames
-                slot[start + fi * stride] = fr
+            idx = start + fi * stride
+            if idx < n_vid:                       # drop padded tail frames
+                slot[idx] = fr
+                if frame_sink is not None and winner[(vid, idx)] == start:
+                    frame_sink(vid, ordinals[vid][idx],
+                               len(ordinals[vid]), fr)
 
     def consume(entry):
-        from .augment import (merge_flip_detections,
-                              merge_multiscale_detections,
+        from .augment import (merge_multiscale_detections,
                               rescale_detections)
-        det, det_f, metas, bucket = entry
+        det, metas, bucket = entry
         det = jax.tree.map(np.asarray, det)
-        if det_f is not None:
-            det_f = jax.tree.map(np.asarray, det_f)
         for bi, (vid, start, scale) in enumerate(metas):
             single = clip_slice(det, bi)
-            if det_f is not None:
-                single = merge_flip_detections(
-                    single, clip_slice(det_f, bi), bucket[1], t,
-                    cfg.TEST.NMS)
             single = rescale_detections(single, scale)
             if n_passes == 1:
                 emit(vid, start, single)
@@ -226,10 +270,9 @@ def run_inference(
             full.append(full[-1])
         clips = jnp.asarray(np.stack([it[2]["clips"] for it in full]))
         det = detect(params, clips)
-        det_f = detect(params, clips[:, :, :, ::-1]) if use_flip_aug else None
         metas = [(vid, start, float(it["scale"]))
                  for (vid, start, it) in items]
-        pending.append((det, det_f, metas, bucket))
+        pending.append((det, metas, bucket))
         if len(pending) >= 2:          # double-buffer: read the older one
             for entry in pending[:-1]:
                 consume(entry)

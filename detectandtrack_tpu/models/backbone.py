@@ -97,29 +97,53 @@ class Conv3d(nn.Module):
             )
             y = y.reshape(b, tt, y.shape[1], y.shape[2], y.shape[3])
         elif self.strides[0] == 1:
-            # Temporal (t>1) convs: decompose into t time-shifted 4-D convs
-            # summed — exact (same taps, same same-padding), same FLOPs,
-            # but each 2-D conv runs with batch B·T filling the sublanes
-            # (the 5-D form leaves batch at B; see the t=1 note above).
+            # Temporal (t>1) convs: ONE 4-D conv with batch B·T (sublanes
+            # full) computing all t taps as extra OUTPUT channels, then a
+            # time-shifted sum — exact (same taps, same same-padding, same
+            # FLOPs as the direct 5-D conv):
+            #   y[τ] = Σ_k W_k * x[τ + k·d − lpad]  ≡  Σ_k z_k[τ + k·d − lpad]
+            # with z_k[τ] = W_k * x[τ]. Shifting the OUTPUTS (static slice +
+            # zero-pad feeding an add) is a single fusible elementwise op;
+            # the r2 form shifted the INPUTS (pad + t dynamic slices), which
+            # XLA must materialize as t full-activation copies because a
+            # conv operand can't fuse — those copies were ~16% of device
+            # time in the r3 800×1344 trace. Zero-fill at the clip edges is
+            # exactly the 5-D conv's temporal zero padding (no bias here —
+            # bias/affine land after the sum).
             b, tt, h, w, cin = x.shape
             d_t = self.dilation[0]
-            lpad, rpad = pads[0]
-            xp = jnp.pad(x.astype(self.dtype),
-                         ((0, 0), (lpad, rpad), (0, 0), (0, 0), (0, 0)))
+            lpad, _ = pads[0]
+            g = self.groups
+            f = self.features
+            # (t, kh, kw, cin/g, f) → (kh, kw, cin/g, g, t, f/g) →
+            # (kh, kw, cin/g, t·f): group-major output layout so
+            # feature_group_count still sees g contiguous channel groups.
+            kw_ = (kernel.astype(self.dtype)
+                   .reshape(t, kh, kw, cin // g, g, f // g)
+                   .transpose(1, 2, 3, 4, 0, 5)
+                   .reshape(kh, kw, cin // g, t * f))
+            z = jax.lax.conv_general_dilated(
+                x.astype(self.dtype).reshape(b * tt, h, w, cin),
+                kw_,
+                window_strides=self.strides[1:],
+                padding=pads[1:],
+                rhs_dilation=self.dilation[1:],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=g,
+            )
+            hh, ww = z.shape[1], z.shape[2]
+            z = z.reshape(b, tt, hh, ww, g, t, f // g)
             y = None
             for kt in range(t):
-                xs = jax.lax.dynamic_slice_in_dim(xp, kt * d_t, tt, axis=1)
-                yk = jax.lax.conv_general_dilated(
-                    xs.reshape(b * tt, h, w, cin),
-                    kernel[kt].astype(self.dtype),
-                    window_strides=self.strides[1:],
-                    padding=pads[1:],
-                    rhs_dilation=self.dilation[1:],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=self.groups,
-                )
-                y = yk if y is None else y + yk
-            y = y.reshape(b, tt, y.shape[1], y.shape[2], y.shape[3])
+                zk = z[..., kt, :].reshape(b, tt, hh, ww, f)
+                o = kt * d_t - lpad
+                if o >= 0:
+                    zk = jnp.pad(zk[:, o:],
+                                 ((0, 0), (0, o), (0, 0), (0, 0), (0, 0)))
+                elif o < 0:
+                    zk = jnp.pad(zk[:, :tt + o],
+                                 ((0, 0), (-o, 0), (0, 0), (0, 0), (0, 0)))
+                y = zk if y is None else y + zk
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),

@@ -47,6 +47,15 @@ def _compute_dtype(cfg: Config):
         jnp.float32)
 
 
+def _flip_tubes(boxes: jnp.ndarray, image_w: float, t: int) -> jnp.ndarray:
+    """Mirror (B, K, 4T) per-frame boxes horizontally (Detectron +1 conv)."""
+    b, k = boxes.shape[:2]
+    pf = boxes.reshape(b, k, t, 4)
+    out = jnp.stack([image_w - 1.0 - pf[..., 2], pf[..., 1],
+                     image_w - 1.0 - pf[..., 0], pf[..., 3]], axis=-1)
+    return out.reshape(b, k, 4 * t)
+
+
 class GeneralizedRCNN(nn.Module):
     """cfg-driven detection model; __call__ returns raw head outputs plus
     decoded, NMS'd detections (everything in-graph)."""
@@ -267,40 +276,21 @@ class GeneralizedRCNN(nn.Module):
         return pooled.reshape(b * k, t, resolution, resolution, c)
 
     # ------------------------------------------------------------------
-    # Full inference graph
+    # Inference stages (composed by __call__ and detect_tta)
     # ------------------------------------------------------------------
 
-    def __call__(self, clips: jnp.ndarray,
-                 train: bool = False) -> Dict[str, jnp.ndarray]:
-        """clips (B, T, H, W, 3) → detections dict (all static shapes)."""
+    def _box_candidates(self, pyramid, image_hw, train: bool = False):
+        """Proposals + box head → per-candidate refined tubes and scores.
+
+        → dict: tubes/p_scores/p_valid (B, K, ...), refined (B, K, 4T),
+        scores (B, K), fc7 (B, K, C), cls_logits, box_deltas, rpn_raw.
+        """
         cfg = self.cfg
         t = self.num_frames
-        b = clips.shape[0]
-        image_hw = (float(clips.shape[2]), float(clips.shape[3]))
-
-        pyramid = self.features(clips)
         (tubes, p_scores, p_valid), rpn_raw = self.propose(
             pyramid, image_hw, train=train)
-        k = tubes.shape[1]
+        b, k = tubes.shape[0], tubes.shape[1]
 
-        if cfg.MODEL.RPN_ONLY:
-            # Proposal-only model (lineage MODEL.RPN_ONLY): detections ARE
-            # the top proposals; no RoI heads run.
-            d_max = min(cfg.TEST.DETECTIONS_PER_IM, k)
-            return {
-                "boxes": tubes[:, :d_max],
-                "scores": jnp.where(p_valid[:, :d_max],
-                                    jax.nn.sigmoid(p_scores[:, :d_max]),
-                                    0.0),
-                "valid": p_valid[:, :d_max],
-                "features": jnp.zeros((b, d_max, 1), jnp.float32),
-                "proposals": tubes,
-                "proposal_scores": p_scores,
-                "proposal_valid": p_valid,
-                "rpn_raw": rpn_raw,
-            }
-
-        # --- box head ---
         pooled = self.roi_transform(
             pyramid, tubes, cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
             cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO)
@@ -319,8 +309,19 @@ class GeneralizedRCNN(nn.Module):
         refined = box_ops.clip_boxes(refined, image_hw[0], image_hw[1])
         scores = probs[:, 1].reshape(b, k)
         refined = refined.reshape(b, k, 4 * t)
+        return {
+            "tubes": tubes, "p_scores": p_scores, "p_valid": p_valid,
+            "refined": refined, "scores": scores,
+            "fc7": fc7.reshape(b, k, -1),
+            "cls_logits": cls_logits, "box_deltas": deltas,
+            "rpn_raw": rpn_raw,
+        }
 
-        # --- final NMS to DETECTIONS_PER_IM (greedy or soft) ---
+    def _finalize_detections(self, refined, scores, valid, fc7):
+        """Candidates (B, K', ...) → final NMS'd detections (B, D, ...)."""
+        cfg = self.cfg
+        t = self.num_frames
+        b, k = scores.shape
         d_max = cfg.TEST.DETECTIONS_PER_IM
 
         def final_nms(boxes_i, scores_i, valid_i):
@@ -337,7 +338,7 @@ class GeneralizedRCNN(nn.Module):
             return boxes_i[idx], scores_i[idx], mask, idx
 
         det_boxes, det_scores, det_valid, det_idx = jax.vmap(final_nms)(
-            refined, scores, p_valid)                   # (B, D, 4T) ...
+            refined, scores, valid)                     # (B, D, 4T) ...
 
         if cfg.TEST.BBOX_VOTE_ENABLED:
             # Box voting (lineage box_results_with_nms_and_limit +
@@ -349,8 +350,8 @@ class GeneralizedRCNN(nn.Module):
             det_centers = det_boxes.reshape(b, -1, t, 4)[:, :, t // 2]
             iou = jax.vmap(box_ops.bbox_overlaps)(det_centers, all_centers)
             w_vote = jnp.where(
-                (iou >= thr) & p_valid[:, None, :],
-                jnp.where(p_valid, scores, 0.0)[:, None, :], 0.0)
+                (iou >= thr) & valid[:, None, :],
+                jnp.where(valid, scores, 0.0)[:, None, :], 0.0)
             denom = w_vote.sum(-1, keepdims=True)       # (B, D, 1)
             voted = jnp.einsum("bdk,bkc->bdc", w_vote, refined)
             det_boxes = jnp.where(denom > 0, voted / jnp.maximum(denom,
@@ -358,79 +359,199 @@ class GeneralizedRCNN(nn.Module):
                                   det_boxes)
 
         # Appearance features of final detections (fc7 of their proposal).
-        fc7_b = fc7.reshape(b, k, -1)
         det_feats = jnp.take_along_axis(
-            fc7_b, det_idx[..., None], axis=1)          # (B, D, 1024)
+            fc7, det_idx[..., None], axis=1)            # (B, D, 1024)
+        return det_boxes, det_scores, det_valid, det_feats
+
+    def _keypoint_outputs(self, passes, det_boxes, image_w):
+        """Keypoint heatmaps + decode on final detections.
+
+        `passes`: list of (pyramid, flipped). A flipped pass pools at the
+        mirrored boxes from the mirrored-clip pyramid, then its heatmaps are
+        mirrored back (W axis) and joint-permuted before averaging — the
+        reference's KPS_AUG 'hm_avg' heuristic (`im_detect_keypoints_aug` +
+        `keypoint_utils.flip_heatmaps`) run device-side in the same XLA
+        program. Bin alignment is exact: RoIAlign bin S-1-j of the mirrored
+        box covers the same image pixels as bin j of the original box.
+        """
+        cfg = self.cfg
+        t = self.num_frames
+        b, d_max = det_boxes.shape[:2]
+        m_kp = cfg.KRCNN.MAX_ROIS_PER_IM or d_max
+        m_kp = min(m_kp, d_max)
+        kp_boxes = det_boxes[:, :m_kp]
+
+        t_kp = t
+        det_kp_boxes = kp_boxes
+        if cfg.VIDEO.VIDEO_ON and not cfg.VIDEO.PREDICT_ALL_FRAMES:
+            det_kp_boxes = kp_boxes.reshape(
+                b, m_kp, t, 4)[:, :, t // 2:t // 2 + 1].reshape(b, m_kp, 4)
+            t_kp = 1
+
+        hm_sum = None
+        for pyramid, flipped in passes:
+            boxes_p = (_flip_tubes(kp_boxes, image_w, t) if flipped
+                       else kp_boxes)
+            kp_pooled = self.roi_transform(
+                pyramid, boxes_p, cfg.KRCNN.ROI_XFORM_RESOLUTION,
+                cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO)
+            if t_kp != t:
+                # Center-frame-only supervision/inference (paper ablation):
+                # run the head on the center frame of each tube.
+                kp_pooled = kp_pooled[:, t // 2:t // 2 + 1]
+            hm = self.kps_head(kp_pooled)               # (B·M, Tk, S, S, K)
+            if flipped:
+                from ..ops.keypoints import flip_permutation
+                perm = jnp.asarray(flip_permutation(
+                    "posetrack" if cfg.KRCNN.NUM_KEYPOINTS == 15
+                    else "coco"))
+                hm = hm[:, :, :, ::-1, :][..., perm]
+            hm_sum = hm if hm_sum is None else hm_sum + hm
+        heatmaps = hm_sum / float(len(passes))
+
+        s_hm = heatmaps.shape[2]
+        n_kp = cfg.KRCNN.NUM_KEYPOINTS
+        hm_flat = heatmaps.reshape(b * m_kp * t_kp, s_hm, s_hm, n_kp)
+        rois_flat = det_kp_boxes.reshape(b * m_kp * t_kp, 4)
+        kps = heatmaps_to_keypoints(
+            hm_flat.transpose(0, 3, 1, 2), rois_flat)
+        kps = kps.reshape(b, m_kp, t_kp, n_kp, 4)
+        if cfg.KRCNN.INFERENCE_MIN_SIZE > 0:
+            # Lineage KRCNN.INFERENCE_MIN_SIZE: detections smaller than
+            # this get no keypoints (scores zeroed).
+            cb = kp_boxes.reshape(b, m_kp, t, 4)[:, :, t // 2]
+            side = jnp.minimum(cb[..., 2] - cb[..., 0],
+                               cb[..., 3] - cb[..., 1])
+            big = side >= cfg.KRCNN.INFERENCE_MIN_SIZE
+            kps = kps.at[..., 2:].multiply(
+                big[:, :, None, None, None].astype(kps.dtype))
+        if t_kp != t:
+            # Broadcast the center-frame pose to all frames so the
+            # output contract stays (B, D, T, K, 4).
+            kps = jnp.broadcast_to(kps, (b, m_kp, t, n_kp, 4))
+        if m_kp != d_max:
+            kps = jnp.pad(kps,
+                          ((0, 0), (0, d_max - m_kp), (0, 0), (0, 0),
+                           (0, 0)))
+        return kps, heatmaps.reshape(b, m_kp, t_kp, s_hm, s_hm, n_kp)
+
+    def _mask_outputs(self, pyramid, det_boxes):
+        cfg = self.cfg
+        b, d_max = det_boxes.shape[:2]
+        mask_pooled = self.roi_transform(
+            pyramid, det_boxes, cfg.MRCNN.ROI_XFORM_RESOLUTION,
+            cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO)
+        m = self.mask_head(mask_pooled)                  # (B·D, T, S, S, C)
+        return m.reshape((b, d_max) + m.shape[1:])
+
+    # ------------------------------------------------------------------
+    # Full inference graph
+    # ------------------------------------------------------------------
+
+    def __call__(self, clips: jnp.ndarray,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        """clips (B, T, H, W, 3) → detections dict (all static shapes)."""
+        cfg = self.cfg
+        b = clips.shape[0]
+        image_hw = (float(clips.shape[2]), float(clips.shape[3]))
+
+        pyramid = self.features(clips)
+
+        if cfg.MODEL.RPN_ONLY:
+            # Proposal-only model (lineage MODEL.RPN_ONLY): detections ARE
+            # the top proposals; no RoI heads run.
+            (tubes, p_scores, p_valid), rpn_raw = self.propose(
+                pyramid, image_hw, train=train)
+            k = tubes.shape[1]
+            d_max = min(cfg.TEST.DETECTIONS_PER_IM, k)
+            return {
+                "boxes": tubes[:, :d_max],
+                "scores": jnp.where(p_valid[:, :d_max],
+                                    jax.nn.sigmoid(p_scores[:, :d_max]),
+                                    0.0),
+                "valid": p_valid[:, :d_max],
+                "features": jnp.zeros((b, d_max, 1), jnp.float32),
+                "proposals": tubes,
+                "proposal_scores": p_scores,
+                "proposal_valid": p_valid,
+                "rpn_raw": rpn_raw,
+            }
+
+        cand = self._box_candidates(pyramid, image_hw, train=train)
+        det_boxes, det_scores, det_valid, det_feats = (
+            self._finalize_detections(cand["refined"], cand["scores"],
+                                      cand["p_valid"], cand["fc7"]))
 
         out = {
             "boxes": det_boxes,
             "scores": jnp.where(det_valid, det_scores, 0.0),
             "valid": det_valid,
             "features": det_feats,
-            "proposals": tubes,
-            "proposal_scores": p_scores,
-            "proposal_valid": p_valid,
-            "cls_logits": cls_logits,
-            "box_deltas": deltas,
-            "rpn_raw": rpn_raw,
+            "proposals": cand["tubes"],
+            "proposal_scores": cand["p_scores"],
+            "proposal_valid": cand["p_valid"],
+            "cls_logits": cand["cls_logits"],
+            "box_deltas": cand["box_deltas"],
+            "rpn_raw": cand["rpn_raw"],
         }
 
-        # --- keypoint head on final detections ---
         if cfg.MODEL.KEYPOINTS_ON:
-            # Optional budget: heatmaps only for the top-M detections
-            # (final NMS returns them score-sorted).
-            m_kp = cfg.KRCNN.MAX_ROIS_PER_IM or d_max
-            m_kp = min(m_kp, d_max)
-            kp_boxes = det_boxes[:, :m_kp]
-            kp_pooled = self.roi_transform(
-                pyramid, kp_boxes, cfg.KRCNN.ROI_XFORM_RESOLUTION,
-                cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO)
-            t_kp = t
-            det_kp_boxes = kp_boxes
-            if cfg.VIDEO.VIDEO_ON and not cfg.VIDEO.PREDICT_ALL_FRAMES:
-                # Center-frame-only supervision/inference (paper ablation):
-                # run the head on the center frame of each tube.
-                kp_pooled = kp_pooled[:, t // 2:t // 2 + 1]
-                det_kp_boxes = kp_boxes.reshape(
-                    b, m_kp, t, 4)[:, :, t // 2:t // 2 + 1].reshape(
-                    b, m_kp, 4)
-                t_kp = 1
-            heatmaps = self.kps_head(kp_pooled)         # (B·M, Tk, S, S, K)
-            s_hm = heatmaps.shape[2]
-            n_kp = cfg.KRCNN.NUM_KEYPOINTS
-            hm_flat = heatmaps.reshape(b * m_kp * t_kp, s_hm, s_hm, n_kp)
-            rois_flat = det_kp_boxes.reshape(b * m_kp * t_kp, 4)
-            kps = heatmaps_to_keypoints(
-                hm_flat.transpose(0, 3, 1, 2), rois_flat)
-            kps = kps.reshape(b, m_kp, t_kp, n_kp, 4)
-            if cfg.KRCNN.INFERENCE_MIN_SIZE > 0:
-                # Lineage KRCNN.INFERENCE_MIN_SIZE: detections smaller than
-                # this get no keypoints (scores zeroed).
-                cb = kp_boxes.reshape(b, m_kp, t, 4)[:, :, t // 2]
-                side = jnp.minimum(cb[..., 2] - cb[..., 0],
-                                   cb[..., 3] - cb[..., 1])
-                big = side >= cfg.KRCNN.INFERENCE_MIN_SIZE
-                kps = kps.at[..., 2:].multiply(
-                    big[:, :, None, None, None].astype(kps.dtype))
-            if t_kp != t:
-                # Broadcast the center-frame pose to all frames so the
-                # output contract stays (B, D, T, K, 4).
-                kps = jnp.broadcast_to(kps, (b, m_kp, t, n_kp, 4))
-            if m_kp != d_max:
-                kps = jnp.pad(kps,
-                              ((0, 0), (0, d_max - m_kp), (0, 0), (0, 0),
-                               (0, 0)))
+            kps, hms = self._keypoint_outputs([(pyramid, False)],
+                                              det_boxes, image_hw[1])
             out["keypoints"] = kps
-            out["heatmaps"] = heatmaps.reshape(b, m_kp, t_kp, s_hm, s_hm,
-                                               n_kp)
+            out["heatmaps"] = hms
 
         if cfg.MODEL.MASK_ON:
-            mask_pooled = self.roi_transform(
-                pyramid, det_boxes, cfg.MRCNN.ROI_XFORM_RESOLUTION,
-                cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO)
-            m = self.mask_head(mask_pooled)              # (B·D, T, S, S, C)
-            out["masks"] = m.reshape((b, d_max) + m.shape[1:])
+            out["masks"] = self._mask_outputs(pyramid, det_boxes)
 
+        return out
+
+    def detect_tta(self, clips: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Flip-TTA inference in ONE XLA graph.
+
+        Parity: `im_detect_bbox_aug` (hflip, 'union' coord heuristic) +
+        `im_detect_keypoints_aug` ('hm_avg'): box candidates from the
+        original and mirrored passes are unioned before the final NMS, and
+        keypoint heatmaps from both passes are averaged AT THE HEATMAP
+        LEVEL (mirror + joint permutation in-graph), decoded once — no
+        host-side coordinate-average approximation, and one dispatch per
+        batch instead of two.
+        """
+        cfg = self.cfg
+        t = self.num_frames
+        image_hw = (float(clips.shape[2]), float(clips.shape[3]))
+        w_img = image_hw[1]
+
+        pyr_o = self.features(clips)
+        pyr_f = self.features(clips[:, :, :, ::-1])
+        cand_o = self._box_candidates(pyr_o, image_hw)
+        cand_f = self._box_candidates(pyr_f, image_hw)
+
+        refined = jnp.concatenate(
+            [cand_o["refined"], _flip_tubes(cand_f["refined"], w_img, t)],
+            axis=1)                                      # (B, 2K, 4T)
+        scores = jnp.concatenate([cand_o["scores"], cand_f["scores"]],
+                                 axis=1)
+        valid = jnp.concatenate([cand_o["p_valid"], cand_f["p_valid"]],
+                                axis=1)
+        fc7 = jnp.concatenate([cand_o["fc7"], cand_f["fc7"]], axis=1)
+
+        det_boxes, det_scores, det_valid, det_feats = (
+            self._finalize_detections(refined, scores, valid, fc7))
+
+        out = {
+            "boxes": det_boxes,
+            "scores": jnp.where(det_valid, det_scores, 0.0),
+            "valid": det_valid,
+            "features": det_feats,
+        }
+        if cfg.MODEL.KEYPOINTS_ON:
+            kps, hms = self._keypoint_outputs(
+                [(pyr_o, False), (pyr_f, True)], det_boxes, w_img)
+            out["keypoints"] = kps
+            out["heatmaps"] = hms
+        if cfg.MODEL.MASK_ON:
+            out["masks"] = self._mask_outputs(pyr_o, det_boxes)
         return out
 
 

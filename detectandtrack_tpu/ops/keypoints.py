@@ -200,6 +200,39 @@ def compute_oks(
     return oks
 
 
+def nms_oks(kps: np.ndarray, rois: np.ndarray, thresh: float,
+            sigmas: np.ndarray = POSETRACK_OKS_SIGMAS) -> List[int]:
+    """Greedy pose-similarity NMS (parity: `lib/utils/keypoints.nms_oks`).
+
+    kps: (P, K, >=3) [x, y, score]; rois: (P, 4) the poses' boxes.
+    Instances are ranked by mean keypoint score; an instance whose OKS
+    against any kept higher-ranked instance (area = the kept instance's
+    roi) exceeds `thresh` is suppressed. Returns kept indices in rank
+    order. Host utility — not on the PoseTrack inference path (the
+    in-graph box NMS covers it), kept for lineage API parity.
+    """
+    kps = np.asarray(kps, np.float64)
+    rois = np.asarray(rois, np.float64)
+    inst_scores = kps[:, :, 2].mean(axis=1)
+    order = np.argsort(-inst_scores)
+    areas = np.maximum((rois[:, 2] - rois[:, 0])
+                       * (rois[:, 3] - rois[:, 1]), 1.0)
+    keep: List[int] = []
+    for i in order:
+        ok = True
+        for j in keep:
+            gt = np.concatenate(
+                [kps[j, :, :2], np.ones((kps.shape[1], 1))], axis=1)
+            oks = compute_oks(kps[i:i + 1, :, :2], gt[None],
+                              areas[j:j + 1], sigmas)[0, 0]
+            if oks > thresh:
+                ok = False
+                break
+        if ok:
+            keep.append(int(i))
+    return keep
+
+
 def scale_keypoints(kps: np.ndarray, scale: float) -> np.ndarray:
     """Rescale (..., K, >=2) keypoint coords (image-resize bookkeeping)."""
     out = np.array(kps, dtype=np.float32)

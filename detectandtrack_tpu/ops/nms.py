@@ -113,11 +113,99 @@ def soft_nms_fixed(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Soft-NMS (Bodla et al.) with a static output budget.
 
-    Parity: `cython_nms.soft_nms` (linear / gaussian). Sequentially picks the
-    highest remaining box `max_out` times, decaying overlapping scores.
+    Parity: `cython_nms.soft_nms` (linear / gaussian): sequentially pick
+    the highest remaining box, decay every overlapping box's score, repeat.
+    Like `nms_fixed` above, the sequential pick loop is replaced by a
+    bulk-confirmation fixpoint (the r2 trace showed `max_out`-length scan
+    whiles were the single largest sequential cost class):
+
+    The scan picks boxes in descending FINAL-score order (a box's score is
+    frozen when picked; everything still unpicked is <= it and only
+    decays). So per round, with `prov(i) = s_i * prod(decays from already
+    confirmed overlapping boxes)`, any box with NO unconfirmed overlapping
+    box of higher (prov, -index) can be confirmed at `prov(i)`: an
+    overlapper could only decay i by being picked first, which would need
+    current score > prov(i) at pick time, impossible since its score is
+    bounded by its own prov <= prov(i). Confirmations commute, at least
+    the global prov-argmax confirms every round, and each round is one
+    O(N^2) masked product the VPU eats whole — the loop runs to the decay
+    -chain depth (single digits on real detections) instead of `max_out`
+    sequential argmax steps. Equality with the scan is pinned by
+    tests/test_nms.py against `soft_nms_scan`.
 
     Returns (keep_idx, keep_mask, new_scores[max_out]).
     """
+    n = boxes.shape[0]
+    scores = jnp.asarray(scores, jnp.float32)
+    if valid is not None:
+        scores = jnp.where(valid, scores, _NEG_INF)
+    iou = bbox_overlaps(boxes, boxes).astype(jnp.float32)
+    if method == "linear":
+        dmat = jnp.where(iou > iou_thresh, 1.0 - iou, 1.0)
+    else:  # gaussian
+        dmat = jnp.exp(-(iou * iou) / sigma)
+    eye = jnp.eye(n, dtype=bool)
+    # j can ever decay i (self excluded; decay==1 is a no-op either way).
+    overlaps = (dmat < 1.0) & ~eye
+    alive = scores > _NEG_INF / 2
+
+    def cond(state):
+        _, _, changed = state
+        return changed
+
+    def body(state):
+        confirmed, conf_score, _ = state
+        # prov(i): score after decays from every CONFIRMED overlapper.
+        # Confirmed boxes are all picked before any unconfirmed one, so
+        # these decays are exactly the ones the scan has applied by then.
+        decays = jnp.where(confirmed[:, None] & overlaps, dmat, 1.0)
+        prov = scores * jnp.prod(decays, axis=0)
+        # i is outranked if some unconfirmed alive overlapper j beats it
+        # lexicographically on (prov, -index) — the scan's argmax order.
+        rng = jnp.arange(n)
+        beats = (prov[:, None] > prov[None, :]) | (
+            (prov[:, None] == prov[None, :]) & (rng[:, None] < rng[None, :]))
+        outranked = jnp.any(
+            (~confirmed & alive)[:, None] & overlaps & beats, axis=0)
+        newly = ~confirmed & alive & ~outranked
+        conf_score = jnp.where(newly, prov, conf_score)
+        return (confirmed | newly, conf_score,
+                jnp.any(newly))
+
+    confirmed0 = jnp.zeros(n, bool)
+    _, final, _ = jax.lax.while_loop(
+        cond, body, (confirmed0, jnp.full(n, _NEG_INF, jnp.float32),
+                     jnp.bool_(True)))
+
+    # Emit the scan's outputs: picks in descending (final, -index) order,
+    # masked once the running top drops to score_thresh, max_out slots.
+    k = min(n, max_out)
+    order = jnp.argsort(-final)[:k]
+    out_scores = final[order]
+    mask = out_scores > score_thresh
+    idx = jnp.where(mask, order.astype(jnp.int32), 0)
+    out_scores = jnp.where(mask, out_scores, 0.0)
+    if k < max_out:
+        pad = max_out - k
+        idx = jnp.pad(idx, (0, pad))
+        mask = jnp.pad(mask, (0, pad))
+        out_scores = jnp.pad(out_scores, (0, pad))
+    return idx, mask, out_scores
+
+
+def soft_nms_scan(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_out: int,
+    sigma: float = 0.5,
+    iou_thresh: float = 0.3,
+    score_thresh: float = 0.001,
+    method: str = "linear",
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sequential-scan soft-NMS: the direct transliteration of the Cython
+    reference's pick-decay loop. Test oracle for `soft_nms_fixed` (and the
+    shape every CPU reader expects); not used on the TPU hot path."""
     n = boxes.shape[0]
     scores = jnp.asarray(scores, jnp.float32)
     if valid is not None:

@@ -52,6 +52,72 @@ def run_tracker_on_video(
     return out
 
 
+class StreamingTrackingSink:
+    """Online detect→track consumer (BASELINE config 5 streaming mode).
+
+    Passed as `frame_sink` to `engine.inference.run_inference`: each frame's
+    detections are handed over as soon as their batch is consumed from the
+    device — while the NEXT batch is still in flight on the chip — and fed
+    to a per-video Hungarian tracker incrementally. No `detections.pkl`
+    intermediary, no second pass over the dataset (parity with the
+    two-stage reference pipeline is asserted in tests/test_stream.py:
+    identical track ids frame-for-frame).
+
+    Frames can arrive out of order (multi-scale TTA passes land in
+    different shape buckets with independent batch timing), so arrivals
+    are buffered per video and consumed strictly in frame order — the
+    tracker state update sequence is exactly the offline pass's.
+    """
+
+    def __init__(self, cfg=None):
+        self.cfg = cfg
+        self._trackers: Dict[str, Tracker] = {}
+        self._buffers: Dict[str, Dict[int, dict]] = {}
+        self._next: Dict[str, int] = {}
+        self._total: Dict[str, int] = {}
+        self.tracked: Dict[str, List[dict]] = {}
+
+    def __call__(self, vid: str, ordinal: int, total: int, frame: dict):
+        if vid not in self._trackers:
+            tr = (Tracker.from_cfg(self.cfg) if self.cfg is not None
+                  else Tracker())
+            tr.reset()
+            self._trackers[vid] = tr
+            self._buffers[vid] = {}
+            self._next[vid] = 0
+            self._total[vid] = total
+            self.tracked[vid] = []
+        self._buffers[vid][ordinal] = frame
+        buf, tr, out = self._buffers[vid], self._trackers[vid], \
+            self.tracked[vid]
+        while self._next[vid] in buf:
+            fr = buf.pop(self._next[vid])
+            kwargs = {}
+            if fr.get("keypoints") is not None:
+                kwargs["keypoints"] = np.asarray(fr["keypoints"])[..., :2]
+            if fr.get("features") is not None:
+                kwargs["features"] = np.asarray(fr["features"])
+            ids = tr.update(
+                np.asarray(fr["boxes"], np.float64),
+                np.asarray(fr["scores"], np.float64),
+                valid=fr.get("valid"), **kwargs)
+            out.append({**fr, "track_ids": ids})
+            self._next[vid] += 1
+            if self._next[vid] == self._total[vid]:
+                # Video complete — free the tracker and buffer.
+                del self._trackers[vid], self._buffers[vid]
+                break
+
+    def results(self) -> Dict[str, List[dict]]:
+        incomplete = [v for v, n in self._next.items()
+                      if n != self._total[v]]
+        if incomplete:
+            raise RuntimeError(
+                f"streaming sink finished with incomplete videos: "
+                f"{incomplete}")
+        return self.tracked
+
+
 def run_posetrack_tracking(
     detections_by_video: Dict[str, Sequence[dict]],
     cfg=None,

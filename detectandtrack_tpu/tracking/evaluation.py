@@ -198,6 +198,47 @@ class PosetrackEvaluator:
         }
 
 
+def _summarize_ap(all_scores: List[float], all_matches: List[np.ndarray],
+                  n_gt: int, thresholds: np.ndarray) -> Dict[str, float]:
+    """Score-ranked matches → COCO 101-point-interpolated AP/AP50/AP75.
+
+    Shared by the box / OKS / mask evaluators (parity: pycocotools
+    `COCOeval.accumulate` + `summarize`).
+    """
+    if n_gt == 0:
+        return {"AP": float("nan"), "AP50": float("nan"),
+                "AP75": float("nan")}
+    order = np.argsort(-np.asarray(all_scores))
+    m = (np.stack(all_matches)[order] if all_matches
+         else np.zeros((0, len(thresholds))))
+    aps = []
+    for ti in range(len(thresholds)):
+        tp = np.cumsum(m[:, ti])
+        fp = np.cumsum(1 - m[:, ti])
+        recall = tp / n_gt
+        precision = tp / np.maximum(tp + fp, 1)
+        mrec = np.concatenate([[0.0], recall])
+        # Sentinel 0 so the backward max sets precision-at-recall-0 to the
+        # best achieved precision (pycocotools semantics), not 1.0.
+        mpre = np.concatenate([[0.0], precision])
+        for i in range(len(mpre) - 2, -1, -1):
+            mpre[i] = max(mpre[i], mpre[i + 1])
+        # Trailing 0 sentinel: recall thresholds above the max achieved
+        # recall get precision 0 (pycocotools leaves those entries at 0),
+        # not the last achieved precision.
+        mpre = np.append(mpre, 0.0)
+        # 101-point interpolation (COCO)
+        q = np.linspace(0, 1, 101)
+        idx = np.searchsorted(mrec, q, side="left")
+        aps.append(np.mean(mpre[idx]))
+    aps = np.asarray(aps)
+    return {
+        "AP": float(aps.mean() * 100.0),
+        "AP50": float(aps[0] * 100.0),
+        "AP75": float(aps[5] * 100.0),
+    }
+
+
 def eval_box_ap(
     preds_by_image: Dict[str, List[Tuple[np.ndarray, float]]],
     gts_by_image: Dict[str, List[np.ndarray]],
@@ -248,37 +289,53 @@ def eval_box_ap(
                     row[ti] = 1.0
             all_matches.append(row)
 
-    if n_gt == 0:
-        return {"AP": float("nan"), "AP50": float("nan"),
-                "AP75": float("nan")}
-    order = np.argsort(-np.asarray(all_scores))
-    m = (np.stack(all_matches)[order] if all_matches
-         else np.zeros((0, len(thresholds))))
-    aps = []
-    for ti in range(len(thresholds)):
-        tp = np.cumsum(m[:, ti])
-        fp = np.cumsum(1 - m[:, ti])
-        recall = tp / n_gt
-        precision = tp / np.maximum(tp + fp, 1)
-        mrec = np.concatenate([[0.0], recall])
-        # Sentinel 0 so the backward max sets precision-at-recall-0 to the
-        # best achieved precision (pycocotools semantics), not 1.0.
-        mpre = np.concatenate([[0.0], precision])
-        for i in range(len(mpre) - 2, -1, -1):
-            mpre[i] = max(mpre[i], mpre[i + 1])
-        # Trailing 0 sentinel: recall thresholds above the max achieved
-        # recall get precision 0 (pycocotools leaves those entries at 0),
-        # not the last achieved precision.
-        mpre = np.append(mpre, 0.0)
-        q = np.linspace(0, 1, 101)
-        idx = np.searchsorted(mrec, q, side="left")
-        aps.append(np.mean(mpre[idx]))
-    aps = np.asarray(aps)
-    return {
-        "AP": float(aps.mean() * 100.0),
-        "AP50": float(aps[0] * 100.0),
-        "AP75": float(aps[5] * 100.0),
-    }
+    return _summarize_ap(all_scores, all_matches, n_gt, thresholds)
+
+
+def eval_mask_ap(
+    preds_by_image: Dict[str, List[Tuple[np.ndarray, float]]],
+    gts_by_image: Dict[str, List[np.ndarray]],
+    thresholds: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """COCO-style instance-segmentation AP over full-image boolean masks.
+
+    Parity: `json_dataset_evaluator.evaluate_masks` / pycocotools segm
+    iouType. preds: {image: [(mask(H, W) bool, score)]};
+    gts: {image: [mask(H, W) bool]}. Paste detector outputs with
+    `ops.masks.paste_mask` and rasterize GT polygons with
+    `ops.masks.rasterize_polygons` before calling.
+    """
+    from ..ops.masks import mask_iou_matrix
+
+    if thresholds is None:
+        thresholds = np.arange(0.5, 1.0, 0.05)
+    all_scores: List[float] = []
+    all_matches: List[np.ndarray] = []
+    n_gt = 0
+    images = set(gts_by_image) | set(preds_by_image)
+    for img in images:
+        gts = gts_by_image.get(img, [])
+        preds = sorted(preds_by_image.get(img, []), key=lambda p: -p[1])
+        n_gt += len(gts)
+        iou = (mask_iou_matrix([p[0] for p in preds], list(gts))
+               if preds and gts else np.zeros((len(preds), len(gts))))
+        taken = {ti: set() for ti in range(len(thresholds))}
+        for pi, (_, score) in enumerate(preds):
+            all_scores.append(score)
+            row = np.zeros(len(thresholds))
+            for ti, thr in enumerate(thresholds):
+                best, best_g = thr, -1
+                for gi in range(len(gts)):
+                    if gi in taken[ti]:
+                        continue
+                    if iou[pi, gi] >= best:
+                        best, best_g = iou[pi, gi], gi
+                if best_g >= 0:
+                    taken[ti].add(best_g)
+                    row[ti] = 1.0
+            all_matches.append(row)
+
+    return _summarize_ap(all_scores, all_matches, n_gt, thresholds)
 
 
 def eval_keypoint_ap_oks(

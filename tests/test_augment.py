@@ -4,7 +4,6 @@ from detectandtrack_tpu.engine.augment import (
     _unflip_boxes,
     _unflip_keypoints,
     flip_clip,
-    merge_flip_detections,
 )
 
 
@@ -27,47 +26,6 @@ def test_flip_clip():
     c = np.arange(12.0).reshape(1, 1, 2, 3, 2)
     f = flip_clip(c)
     np.testing.assert_allclose(f[0, 0, 0, 0], c[0, 0, 0, 2])
-
-
-def _single(boxes, scores, kps=None):
-    d = len(boxes)
-    out = {"boxes": np.asarray(boxes, np.float64),
-           "scores": np.asarray(scores, np.float64),
-           "valid": np.ones(d, bool)}
-    if kps is not None:
-        out["keypoints"] = np.asarray(kps, np.float64)
-    return out
-
-
-def test_merge_flip_identical_detection_dedups_and_averages():
-    W = 100.0
-    box = np.array([[10.0, 10.0, 30.0, 30.0]])
-    kp = np.zeros((1, 1, 15, 4))
-    kp[..., 0] = 20.0
-    kp[..., 1] = 15.0
-    # flipped pass found the mirrored box with mirrored keypoints +1px noise
-    fbox = np.array([[W - 1 - 30.0, 10.0, W - 1 - 10.0, 30.0]])
-    from detectandtrack_tpu.ops.keypoints import flip_permutation
-    perm = flip_permutation("posetrack")
-    fkp = kp[:, :, perm].copy()
-    fkp[..., 0] = W - 1 - (kp[..., 0] + 2.0)[:, :, perm]
-    det = _single(box, [0.9], kp)
-    det_f = _single(fbox, [0.8], fkp)
-    merged = merge_flip_detections(det, det_f, W, 1)
-    assert merged["valid"].sum() == 1          # deduplicated
-    assert merged["scores"][0] == 0.9
-    # keypoint x averaged between 20 and 22 → 21
-    np.testing.assert_allclose(merged["keypoints"][0, 0, :, 0], 21.0)
-
-
-def test_merge_flip_keeps_unique_detections():
-    W = 100.0
-    det = _single(np.array([[10.0, 10.0, 30.0, 30.0]]), [0.9],
-                  np.zeros((1, 1, 15, 4)))
-    far_flipped = _single(np.array([[5.0, 60.0, 25.0, 80.0]]), [0.7],
-                          np.zeros((1, 1, 15, 4)))
-    merged = merge_flip_detections(det, far_flipped, W, 1, max_out=4)
-    assert merged["valid"].sum() == 2
 
 
 def test_merge_multiscale_union_and_dedup():

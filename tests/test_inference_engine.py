@@ -129,3 +129,79 @@ def test_fixed_shapes_no_recompile():
         detect(params, jnp.asarray(rng.normal(size=(1, 1, 64, 96, 3)),
                                    jnp.float32))
     assert detect._cache_size() == n1 == 1
+
+
+@pytest.mark.slow
+def test_run_inference_tail_batches_accumulate_across_videos(tmp_path):
+    """VERDICT r2 #8: bucket queues accumulate clips ACROSS videos; the
+    only repeat-padded dispatch is the final global tail per bucket —
+    dispatch_count == ceil(total_clips / batch)."""
+    json_path = generate_synthetic_posetrack(
+        str(tmp_path), num_videos=3, frames_per_video=5,
+        image_hw=(64, 96), people_per_video=1, seed=2)
+    ds = PosetrackDataset(json_path, str(tmp_path))
+    cfg = load_cfg(opts=TINY + ["VIDEO.VIDEO_ON", True,
+                                "VIDEO.NUM_FRAMES", 2])
+    model = build_model(cfg)
+    clip = jnp.zeros((3, 2, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+
+    calls = []
+    import detectandtrack_tpu.engine.inference as inf
+    real = inf.make_detect_fn
+
+    def counting(model_, mesh=None, flip_tta=False):
+        fn = real(model_, mesh, flip_tta)
+
+        def wrapped(p, clips):
+            calls.append(clips.shape[0])
+            return fn(p, clips)
+        return wrapped
+
+    inf.make_detect_fn, orig = counting, inf.make_detect_fn
+    try:
+        dets = run_inference(cfg, model, params, ds, batch_size=3)
+    finally:
+        inf.make_detect_fn = orig
+    # 3 videos x 3 windows (starts 0, 2, tail 3) = 9 clips; batch 3 -> 3
+    # dispatches, none padded mid-stream.
+    assert calls == [3, 3, 3], calls
+    assert all(len(v) == 5 for v in dets.values())
+
+
+@pytest.mark.slow
+def test_run_inference_flip_tta_in_graph(tmp_path):
+    """Flip TTA (TEST.KPS_AUG_ENABLED) runs through detect_tta in ONE
+    dispatch per batch (no separate flipped-pass dispatch) and keeps the
+    output contract."""
+    json_path = generate_synthetic_posetrack(
+        str(tmp_path), num_videos=1, frames_per_video=2,
+        image_hw=(64, 96), people_per_video=1, seed=3)
+    ds = PosetrackDataset(json_path, str(tmp_path))
+    cfg = load_cfg(opts=TINY + ["TEST.KPS_AUG_ENABLED", True])
+    model = build_model(cfg)
+    clip = jnp.zeros((1, 1, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+
+    calls = []
+    import detectandtrack_tpu.engine.inference as inf
+    real = inf.make_detect_fn
+
+    def counting(model_, mesh=None, flip_tta=False):
+        assert flip_tta            # the aug flag must reach the graph
+        fn = real(model_, mesh, flip_tta)
+
+        def wrapped(p, clips):
+            calls.append(1)
+            return fn(p, clips)
+        return wrapped
+
+    inf.make_detect_fn, orig = counting, inf.make_detect_fn
+    try:
+        dets = run_inference(cfg, model, params, ds)
+    finally:
+        inf.make_detect_fn = orig
+    assert len(calls) == 2         # 2 frames, T=1, batch 1 — one each
+    frames = dets["video_0000"]
+    assert len(frames) == 2
+    assert frames[0]["keypoints"].shape == (4, 15, 3)

@@ -319,9 +319,10 @@ def test_temporal_conv_shift_decomposition_exact():
     from detectandtrack_tpu.models.backbone import Conv3d
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.normal(size=(2, 5, 12, 16, 6)), jnp.float32)
-    for tdil, sstr in ((1, 1), (2, 1), (1, 2)):
+    for tdil, sstr, grp in ((1, 1, 1), (2, 1, 1), (1, 2, 1), (1, 1, 2),
+                            (2, 2, 2)):
         m = Conv3d(8, (3, 3, 3), (1, sstr, sstr),
-                   dilation=(tdil, 1, 1))
+                   dilation=(tdil, 1, 1), groups=grp)
         p = m.init(jax.random.PRNGKey(0), x)
         out = m.apply(p, x)
         k = p["params"]["kernel"]
@@ -329,6 +330,64 @@ def test_temporal_conv_shift_decomposition_exact():
                 for kk, d in zip((3, 3, 3), (tdil, 1, 1))]
         ref = jax.lax.conv_general_dilated(
             x, k, (1, sstr, sstr), pads, rhs_dilation=(tdil, 1, 1),
-            dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+            feature_group_count=grp)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=2e-4, err_msg=f"tdil={tdil}")
+                                   atol=2e-4, err_msg=f"tdil={tdil} g={grp}")
+
+
+@pytest.mark.slow
+def test_detect_tta_flip_equivariance():
+    """In-graph flip TTA: detect_tta(mirror(clip)) must return the mirrored
+    detections of detect_tta(clip). The two runs see the SAME two pyramids
+    (original + mirrored) with pass roles swapped, so the union + heatmap
+    average is symmetric by construction — a plumbing error (wrong unflip,
+    wrong joint permutation, misaligned heatmap mirror) breaks this."""
+    from detectandtrack_tpu.engine.augment import (_unflip_boxes,
+                                                   _unflip_keypoints)
+    from detectandtrack_tpu.models.detector import GeneralizedRCNN
+    cfg = load_cfg(opts=TINY_OPTS)
+    model = build_model(cfg)
+    w_img = 96.0
+    clip = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 1, 64, 96, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+    out = model.apply(params, clip, method=GeneralizedRCNN.detect_tta)
+    out_m = model.apply(params, clip[:, :, :, ::-1],
+                        method=GeneralizedRCNN.detect_tta)
+    v = np.asarray(out["valid"][0])
+    vm = np.asarray(out_m["valid"][0])
+    assert v.sum() > 0
+    assert (v == vm).all()
+    np.testing.assert_allclose(np.asarray(out_m["scores"][0])[v],
+                               np.asarray(out["scores"][0])[v], atol=1e-4)
+    boxes = np.asarray(out["boxes"][0], np.float64)
+    boxes_m = _unflip_boxes(np.asarray(out_m["boxes"][0], np.float64),
+                            w_img)
+    np.testing.assert_allclose(boxes_m[v], boxes[v], atol=0.05)
+    kps = np.asarray(out["keypoints"][0], np.float64)      # (D, T, K, 4)
+    kps_m = _unflip_keypoints(
+        np.asarray(out_m["keypoints"][0], np.float64), w_img)
+    np.testing.assert_allclose(kps_m[v][..., 0], kps[v][..., 0], atol=0.05)
+    np.testing.assert_allclose(kps_m[v][..., 1], kps[v][..., 1], atol=0.05)
+    np.testing.assert_allclose(kps_m[v][..., 3], kps[v][..., 3], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_detect_tta_single_pass_consistency():
+    """TTA outputs stay on the contract shapes and are finite; the TTA
+    detection set must score >= the plain pass's top score (the union
+    includes every plain-pass candidate)."""
+    from detectandtrack_tpu.models.detector import GeneralizedRCNN
+    cfg = load_cfg(opts=TINY_OPTS)
+    model = build_model(cfg)
+    clip = jnp.asarray(
+        np.random.default_rng(4).normal(size=(1, 1, 64, 96, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+    plain = model.apply(params, clip)
+    tta = model.apply(params, clip, method=GeneralizedRCNN.detect_tta)
+    assert tta["boxes"].shape == plain["boxes"].shape
+    assert tta["keypoints"].shape == plain["keypoints"].shape
+    assert np.isfinite(np.asarray(tta["scores"])).all()
+    assert (np.asarray(tta["scores"]).max()
+            >= np.asarray(plain["scores"]).max() - 1e-5)

@@ -108,3 +108,60 @@ def test_quadratic_decode_tracks_cubic_resize_oracle():
                                     (by + 0.5) * 8 - oy_img))
     assert np.mean(errs_quad) < 0.5 * np.mean(errs_argmax)
     assert np.mean(errs_quad) < 2.0   # within 2px of the cubic oracle @8px/bin
+
+
+def test_quadratic_decode_hard_bound_56():
+    """VERDICT r2 #4a: hard acceptance bound for the sub-bin decode at the
+    production heatmap size (56^2). Over randomized smooth heatmaps the
+    quadratic refinement must stay within 1.0 px (max) of the lineage
+    cv2.INTER_CUBIC-resize-then-argmax oracle at 2 px/bin — regressions in
+    the decode fail loudly here."""
+    import cv2
+
+    rng = np.random.default_rng(7)
+    hh = 56
+    size = 112                                  # 2 px per bin
+    roi = np.array([0.0, 0.0, float(size), float(size)])
+    errs = []
+    for trial in range(40):
+        # Mixture of 1-3 smooth blobs with off-grid peaks; the sharpest
+        # blob wins so the argmax bin is unambiguous.
+        n_blobs = 1 + trial % 3
+        hm = np.zeros((hh, hh), np.float32)
+        yy, xx = np.mgrid[0:hh, 0:hh]
+        for b in range(n_blobs):
+            cy, cx = rng.uniform(4, hh - 5, 2)
+            amp = 1.0 if b == 0 else rng.uniform(0.3, 0.7)
+            sig = rng.uniform(2.0, 6.0)
+            hm += amp * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig ** 2)
+            ).astype(np.float32)
+
+        dec = K.heatmaps_to_keypoints_numpy(hm[None, None], roi[None])
+        big = cv2.resize(hm, (size, size), interpolation=cv2.INTER_CUBIC)
+        oy, ox = divmod(int(np.argmax(big)), size)
+        errs.append(np.hypot(dec[0, 0, 0] - (ox + 0.5),
+                             dec[0, 0, 1] - (oy + 0.5)))
+    assert np.max(errs) < 1.0, (np.max(errs), np.mean(errs))
+
+
+def test_nms_oks_suppresses_duplicates():
+    """Lineage nms_oks: identical poses collapse to the higher-scored one;
+    distant poses both survive."""
+    rng = np.random.default_rng(3)
+    base = rng.uniform(20, 80, size=(15, 2))
+    far = base + 500.0
+    kps = np.zeros((3, 15, 3))
+    kps[0, :, :2] = base
+    kps[0, :, 2] = 0.9
+    kps[1, :, :2] = base + 0.5          # near-duplicate, lower score
+    kps[1, :, 2] = 0.5
+    kps[2, :, :2] = far
+    kps[2, :, 2] = 0.7
+    rois = np.array([[20.0, 20.0, 80.0, 80.0],
+                     [20.0, 20.0, 80.0, 80.0],
+                     [520.0, 520.0, 580.0, 580.0]])
+    keep = K.nms_oks(kps, rois, thresh=0.5)
+    assert keep == [0, 2]
+    # Permissive threshold keeps everything.
+    assert sorted(K.nms_oks(kps, rois, thresh=0.999)) == [0, 1, 2]

@@ -5,6 +5,7 @@ from detectandtrack_tpu.ops.nms import (
     nms_fixed,
     nms_numpy,
     soft_nms_fixed,
+    soft_nms_scan,
 )
 
 
@@ -79,6 +80,51 @@ def test_soft_nms_decays_overlapping():
     # duplicate box's score decayed below the far box
     pos1 = list(idx).index(1)
     assert new_scores[pos1] < 0.5
+
+
+def _assert_soft_equal(boxes, scores, max_out, msg="", **kw):
+    fi, fm, fs = (np.asarray(a) for a in
+                  soft_nms_fixed(boxes, scores, max_out, **kw))
+    si, sm, ss = (np.asarray(a) for a in
+                  soft_nms_scan(boxes, scores, max_out, **kw))
+    assert (fm == sm).all(), msg
+    assert (fi == si).all(), msg
+    np.testing.assert_allclose(fs, ss, rtol=1e-5, atol=1e-6, err_msg=msg)
+
+
+def test_soft_nms_fixpoint_matches_scan_random():
+    """The bulk-confirmation fixpoint must emit exactly the sequential
+    pick-decay scan's (idx, mask, scores) — both methods, random boxes."""
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        boxes, scores = _rand(rng, 60)
+        for method in ("linear", "gaussian"):
+            _assert_soft_equal(boxes, scores, 60, method=method,
+                               msg=f"trial {trial} {method}")
+
+
+def test_soft_nms_fixpoint_matches_scan_chain():
+    """Decay chain: each box overlaps only its neighbors, so pick order
+    resolves one link per fixpoint round — the adversarial depth case."""
+    n = 48
+    x1 = np.arange(n, dtype=np.float32) * 6.0
+    boxes = np.stack([x1, np.zeros(n, np.float32),
+                      x1 + 9.0, np.full(n, 9.0, np.float32)], axis=1)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    for method in ("linear", "gaussian"):
+        _assert_soft_equal(boxes, scores, n, method=method, msg=method)
+
+
+def test_soft_nms_fixpoint_budget_valid_and_padding():
+    rng = np.random.default_rng(9)
+    boxes, scores = _rand(rng, 30)
+    valid = rng.uniform(size=30) > 0.3
+    # truncating budget
+    _assert_soft_equal(boxes, scores, 8, valid=valid, msg="budget")
+    # budget larger than N (fixpoint pads its emission)
+    _assert_soft_equal(boxes, scores, 45, valid=valid, msg="pad")
+    # high score_thresh masks the tail identically
+    _assert_soft_equal(boxes, scores, 30, score_thresh=0.5, msg="thresh")
 
 
 def test_nms_suppression_chain_exact():

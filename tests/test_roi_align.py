@@ -326,3 +326,30 @@ def test_pallas_multilevel_grad_matches_dense():
         lambda *a: roi_align_multilevel_pallas(*a, interpret=True),
         f))(feats[0])
     np.testing.assert_allclose(np.asarray(gd), np.asarray(gp), atol=1e-4)
+
+
+def test_roi_align_mirror_equivariance_stride1():
+    """Bin-alignment contract used by in-graph flip-TTA heatmap averaging:
+    pooling the mirrored feature map at the mirrored RoI returns the
+    W-mirrored pooled patch (bin S-1-j of the mirrored box covers the same
+    pixels as bin j of the original box). Exact at stride 1."""
+    import jax.numpy as jnp
+    from detectandtrack_tpu.kernels.roi_align import (
+        roi_align_multilevel_dense)
+    rng = np.random.default_rng(7)
+    h, w, c = 24, 32, 4
+    fmap = jnp.asarray(rng.normal(size=(1, h, w, c)), jnp.float32)
+    rois = jnp.asarray([[[3.0, 2.0, 21.0, 17.0],
+                         [10.5, 4.25, 28.0, 20.0]]], jnp.float32)
+    levels = jnp.zeros((1, 2), jnp.int32)
+    pooled = roi_align_multilevel_dense([fmap], [1], rois, levels, 7, 2)
+    fmap_m = fmap[:, :, ::-1]
+    w_img = float(w)  # stride 1: image width == map width
+    x1, x2 = rois[..., 0], rois[..., 2]
+    rois_m = jnp.stack([w_img - 1.0 - x2, rois[..., 1],
+                        w_img - 1.0 - x1, rois[..., 3]], axis=-1)
+    pooled_m = roi_align_multilevel_dense([fmap_m], [1], rois_m, levels,
+                                          7, 2)
+    np.testing.assert_allclose(np.asarray(pooled_m),
+                               np.asarray(pooled[:, :, :, ::-1]),
+                               atol=1e-5)

@@ -1,0 +1,99 @@
+"""Online streaming detect→track (BASELINE config 5).
+
+The streaming sink consumes detections straight off each consumed device
+batch and must reproduce the two-pass (test → track) pipeline EXACTLY:
+same per-frame track ids, same metrics — asserted here on synthetic
+PoseTrack with overlapping tail windows (a frame written by two windows)
+and multiple videos interleaved through the bucket queues.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detectandtrack_tpu.core.config import load_cfg
+from detectandtrack_tpu.data.posetrack import PosetrackDataset
+from detectandtrack_tpu.data.synthetic import generate_synthetic_posetrack
+from detectandtrack_tpu.engine.inference import run_inference
+from detectandtrack_tpu.models.detector import build_model
+from detectandtrack_tpu.tracking.engine import (
+    StreamingTrackingSink,
+    run_posetrack_tracking,
+)
+
+TINY = [
+    "MODEL.CONV_BODY", "resnet18",
+    "MODEL.COMPUTE_DTYPE", "float32",
+    "RPN.PRE_NMS_TOP_N_TEST", 50,
+    "RPN.POST_NMS_TOP_N_TEST", 16,
+    "TEST.DETECTIONS_PER_IM", 4,
+    "TEST.SCORE_THRESH", -1.0,
+    "TEST.SCALE", 64, "TEST.MAX_SIZE", 96,
+    "TEST.SHAPE_BUCKETS", "[[64, 96]]",
+    "KRCNN.NUM_STACKED_CONVS", 2,
+    "KRCNN.CONV_HEAD_DIM", 32,
+]
+
+
+def test_sink_handles_out_of_order_frames():
+    """Frames arriving out of order are buffered and fed to the tracker in
+    frame order (multi-scale TTA bucket timing)."""
+    rng = np.random.default_rng(0)
+
+    def frame(x):
+        return {
+            "boxes": np.array([[x, 10.0, x + 20.0, 40.0]]),
+            "scores": np.array([0.9]),
+            "valid": np.array([True]),
+            "keypoints": rng.normal(size=(1, 15, 3)),
+        }
+
+    frames = [frame(10.0 * i) for i in range(4)]
+    sink = StreamingTrackingSink()
+    for order in [1, 3, 0, 2]:          # deliberately scrambled
+        sink(r"v", order, 4, frames[order])
+    tracked = sink.results()["v"]
+    offline = run_posetrack_tracking({"v": frames})["v"]
+    assert len(tracked) == 4
+    for a, b in zip(tracked, offline):
+        np.testing.assert_array_equal(a["track_ids"], b["track_ids"])
+        np.testing.assert_array_equal(a["boxes"], b["boxes"])
+
+
+def test_sink_rejects_incomplete():
+    sink = StreamingTrackingSink()
+    sink("v", 0, 2, {"boxes": np.zeros((1, 4)),
+                     "scores": np.ones(1), "valid": np.ones(1, bool)})
+    with pytest.raises(RuntimeError):
+        sink.results()
+
+
+@pytest.mark.slow
+def test_streaming_equals_two_pass(tmp_path):
+    """One streamed pass == test-then-track, frame for frame: identical
+    track ids, boxes, keypoints across 3 videos with overlapping tail
+    windows (5 frames, T=2 → windows [0,1],[2,3],[3,4])."""
+    json_path = generate_synthetic_posetrack(
+        str(tmp_path), num_videos=3, frames_per_video=5,
+        image_hw=(64, 96), people_per_video=2, seed=11)
+    ds = PosetrackDataset(json_path, str(tmp_path))
+    cfg = load_cfg(opts=TINY + ["VIDEO.VIDEO_ON", True,
+                                "VIDEO.NUM_FRAMES", 2])
+    model = build_model(cfg)
+    clip = jnp.zeros((1, 2, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+
+    sink = StreamingTrackingSink(cfg=cfg)
+    dets = run_inference(cfg, model, params, ds, batch_size=2,
+                         frame_sink=sink)
+    streamed = sink.results()
+    offline = run_posetrack_tracking(dets, cfg=cfg)
+
+    assert set(streamed) == set(offline) == set(dets)
+    for vid in offline:
+        assert len(streamed[vid]) == len(offline[vid]) == 5
+        for s, o in zip(streamed[vid], offline[vid]):
+            np.testing.assert_array_equal(s["track_ids"], o["track_ids"])
+            np.testing.assert_array_equal(s["boxes"], o["boxes"])
+            np.testing.assert_array_equal(s["keypoints"], o["keypoints"])
