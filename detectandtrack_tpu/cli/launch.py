@@ -49,6 +49,10 @@ def parse_args(argv=None):
                         "prefer the default in-process mesh sharding)")
     p.add_argument("--vis", action="store_true",
                    help="write annotated frames (track mode)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax backend (the host sitecustomize can "
+                        "pin a TPU tunnel that wins over JAX_PLATFORMS; "
+                        "'cpu' is the debug escape hatch)")
     p.add_argument("opts", nargs="*",
                    help="dotted config overrides: KEY VALUE ...")
     return p.parse_intermixed_args(argv)
@@ -430,6 +434,12 @@ def mode_bench(args, cfg):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.platform:
+        # Must land before the backend initializes; jax.config (not the
+        # env var) because a site-installed platform plugin can override
+        # JAX_PLATFORMS (observed with the axon TPU tunnel).
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     # Multi-host bring-up must precede any jax backend use (no-op unless
     # the JAX_COORDINATOR_ADDRESS / DAT_DISTRIBUTED env contract asks).
     from ..parallel.mesh import maybe_init_distributed

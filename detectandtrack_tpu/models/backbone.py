@@ -20,6 +20,7 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -97,53 +98,92 @@ class Conv3d(nn.Module):
             )
             y = y.reshape(b, tt, y.shape[1], y.shape[2], y.shape[3])
         elif self.strides[0] == 1:
-            # Temporal (t>1) convs: ONE 4-D conv with batch B·T (sublanes
-            # full) computing all t taps as extra OUTPUT channels, then a
-            # time-shifted sum — exact (same taps, same same-padding, same
-            # FLOPs as the direct 5-D conv):
+            # Temporal (t>1) convs, three exact decompositions (A/B'd on
+            # the real chip; DAT_TEMPORAL_CONV env selects for experiments):
+            # 800x1344 b2 bench: inshift 9.33 clips/s, outshift 8.34,
+            # so inshift is the default despite its t activation copies —
+            # the packed-output conv's 3x-wide HBM roundtrip costs more
+            # than the copies it saves.
             #   y[τ] = Σ_k W_k * x[τ + k·d − lpad]  ≡  Σ_k z_k[τ + k·d − lpad]
-            # with z_k[τ] = W_k * x[τ]. Shifting the OUTPUTS (static slice +
-            # zero-pad feeding an add) is a single fusible elementwise op;
-            # the r2 form shifted the INPUTS (pad + t dynamic slices), which
-            # XLA must materialize as t full-activation copies because a
-            # conv operand can't fuse — those copies were ~16% of device
-            # time in the r3 800×1344 trace. Zero-fill at the clip edges is
-            # exactly the 5-D conv's temporal zero padding (no bias here —
-            # bias/affine land after the sum).
+            # with z_k[τ] = W_k * x[τ].
+            # - "outshift": ONE 4-D conv with batch B·T computing all t taps
+            #   as extra OUTPUT channels, then a time-shifted sum (static
+            #   slice + zero-pad feeding adds). Zero-fill at clip edges ==
+            #   the 5-D conv's temporal zero padding.
+            # - "inshift" (r2 form): t time-shifted 4-D convs summed — the
+            #   t shifted conv operands materialize as full-activation
+            #   copies (~16% device time in the r3-early 800×1344 trace).
+            # - "native5d": the direct NTHWC conv.
+            # No bias here — bias/affine land after the sum.
+            impl = os.environ.get("DAT_TEMPORAL_CONV", "inshift")
             b, tt, h, w, cin = x.shape
             d_t = self.dilation[0]
-            lpad, _ = pads[0]
+            lpad, rpad = pads[0]
             g = self.groups
             f = self.features
-            # (t, kh, kw, cin/g, f) → (kh, kw, cin/g, g, t, f/g) →
-            # (kh, kw, cin/g, t·f): group-major output layout so
-            # feature_group_count still sees g contiguous channel groups.
-            kw_ = (kernel.astype(self.dtype)
-                   .reshape(t, kh, kw, cin // g, g, f // g)
-                   .transpose(1, 2, 3, 4, 0, 5)
-                   .reshape(kh, kw, cin // g, t * f))
-            z = jax.lax.conv_general_dilated(
-                x.astype(self.dtype).reshape(b * tt, h, w, cin),
-                kw_,
-                window_strides=self.strides[1:],
-                padding=pads[1:],
-                rhs_dilation=self.dilation[1:],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=g,
-            )
-            hh, ww = z.shape[1], z.shape[2]
-            z = z.reshape(b, tt, hh, ww, g, t, f // g)
-            y = None
-            for kt in range(t):
-                zk = z[..., kt, :].reshape(b, tt, hh, ww, f)
-                o = kt * d_t - lpad
-                if o >= 0:
-                    zk = jnp.pad(zk[:, o:],
-                                 ((0, 0), (0, o), (0, 0), (0, 0), (0, 0)))
-                elif o < 0:
-                    zk = jnp.pad(zk[:, :tt + o],
-                                 ((0, 0), (-o, 0), (0, 0), (0, 0), (0, 0)))
-                y = zk if y is None else y + zk
+            if impl == "outshift":
+                # (t, kh, kw, cin/g, f) → (kh, kw, cin/g, g, t, f/g) →
+                # (kh, kw, cin/g, t·f): group-major output layout so
+                # feature_group_count still sees g contiguous channel
+                # groups (t-major within a group ⇒ per-tap slices are
+                # channel-contiguous when g == 1).
+                kw_ = (kernel.astype(self.dtype)
+                       .reshape(t, kh, kw, cin // g, g, f // g)
+                       .transpose(1, 2, 3, 4, 0, 5)
+                       .reshape(kh, kw, cin // g, t * f))
+                z = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype).reshape(b * tt, h, w, cin),
+                    kw_,
+                    window_strides=self.strides[1:],
+                    padding=pads[1:],
+                    rhs_dilation=self.dilation[1:],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=g,
+                )
+                hh, ww = z.shape[1], z.shape[2]
+                z = z.reshape(b, tt, hh, ww, g, t, f // g)
+                y = None
+                for kt in range(t):
+                    zk = z[..., kt, :].reshape(b, tt, hh, ww, f)
+                    o = kt * d_t - lpad
+                    if o >= 0:
+                        zk = jnp.pad(zk[:, o:],
+                                     ((0, 0), (0, o), (0, 0), (0, 0),
+                                      (0, 0)))
+                    else:
+                        zk = jnp.pad(zk[:, :tt + o],
+                                     ((0, 0), (-o, 0), (0, 0), (0, 0),
+                                      (0, 0)))
+                    y = zk if y is None else y + zk
+            elif impl == "inshift":
+                xp = jnp.pad(x.astype(self.dtype),
+                             ((0, 0), (lpad, rpad), (0, 0), (0, 0),
+                              (0, 0)))
+                y = None
+                for kt in range(t):
+                    xs = jax.lax.dynamic_slice_in_dim(xp, kt * d_t, tt,
+                                                      axis=1)
+                    yk = jax.lax.conv_general_dilated(
+                        xs.reshape(b * tt, h, w, cin),
+                        kernel[kt].astype(self.dtype),
+                        window_strides=self.strides[1:],
+                        padding=pads[1:],
+                        rhs_dilation=self.dilation[1:],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        feature_group_count=g,
+                    )
+                    y = yk if y is None else y + yk
+                y = y.reshape(b, tt, y.shape[1], y.shape[2], y.shape[3])
+            else:  # native5d
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    kernel.astype(self.dtype),
+                    window_strides=self.strides,
+                    padding=pads,
+                    rhs_dilation=self.dilation,
+                    dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+                    feature_group_count=g,
+                )
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
