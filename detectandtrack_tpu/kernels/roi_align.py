@@ -194,15 +194,29 @@ def _roi_align_kernel(
     a = _interp_matrix(y1, bin_h, oy, p, s, ph, float(h), jnp.float32)
     b = _interp_matrix(x1, bin_w, ox, p, s, pw, float(w), jnp.float32)
 
-    patch = jax.lax.cond(cur == 0, lambda: patch0[...], lambda: patch1[...])
-    patch = patch.astype(jnp.float32)
+    def pool(slot_ref):
+        # Feature-dtype matmuls with f32 accumulation, reading the patch
+        # straight from the statically-chosen scratch ref (see the
+        # multilevel kernel note — a cond on the buffer VALUE cost a
+        # patch-sized VMEM copy per roi).
+        pt = slot_ref[...]
+        aa = a.astype(pt.dtype)
+        bb = b.astype(pt.dtype)
+        tmp = jnp.dot(aa, pt.reshape(ph, pw * c),
+                      preferred_element_type=jnp.float32)       # (P, PW*C)
+        tmp = tmp.astype(pt.dtype).reshape(p, pw, c)
+        tmp = tmp.transpose(1, 0, 2).reshape(pw, p * c)
+        out = jnp.dot(bb, tmp, preferred_element_type=jnp.float32)
+        out = out.reshape(p, p, c).transpose(1, 0, 2)           # (p, q, c)
+        out_ref[0] = out.astype(out_ref.dtype)
 
-    tmp = jnp.dot(a, patch.reshape(ph, pw * c),
-                  preferred_element_type=jnp.float32)           # (P, PW*C)
-    tmp = tmp.reshape(p, pw, c).transpose(1, 0, 2).reshape(pw, p * c)
-    out = jnp.dot(b, tmp, preferred_element_type=jnp.float32)   # (Pq, P*C)
-    out = out.reshape(p, p, c).transpose(1, 0, 2)               # (p, q, c)
-    out_ref[0] = out.astype(out_ref.dtype)
+    @pl.when(cur == 0)
+    def _():
+        pool(patch0)
+
+    @pl.when(cur != 0)
+    def _():
+        pool(patch1)
 
 
 def _roi_align_pallas(
@@ -273,6 +287,7 @@ def _roi_align_pallas(
 # exact-everywhere fallback behind MODEL.ROI_ALIGN_IMPL.
 
 _ML_PATCH = 64
+_ML_GANG = 4        # rois per grid step (VMEM: 2·g·patch²·C·2B = 16 MB @ 4)
 
 
 def _roi_align_ml_kernel(
@@ -280,12 +295,13 @@ def _roi_align_ml_kernel(
     slab_ref,        # (N,) i32
     lvl_ref,         # (N,) i32
     *rest,
-    p: int, s: int, n: int, n_lvl: int, hs, ws, c: int,
+    p: int, s: int, n: int, n_lvl: int, hs, ws, c: int, g: int,
 ):
     feat_refs = rest[:n_lvl]
     out_ref, patch0, patch1, sems = rest[n_lvl:]
     i = pl.program_id(0)
     patch = _ML_PATCH
+    nsteps = n // g                      # wrapper pads N to a multiple of g
 
     def roi_params(idx):
         x1 = rois_ref[idx * 4 + 0]
@@ -333,43 +349,71 @@ def _roi_align_ml_kernel(
             branches.append(mk())
         jax.lax.switch(jnp.clip(lvl_ref[idx], 0, n_lvl - 1), branches)
 
+    def start_gang(step, slot, sem_row):
+        # Kick off the g patch DMAs of gang `step` (one per roi, each with
+        # its own semaphore so waits stay per-patch).
+        for gg in range(g):
+            start_dma(step * g + gg, slot.at[gg], sem_row.at[gg])
+
     @pl.when(i == 0)
     def _():
-        start_dma(0, patch0, sems.at[0])
+        start_gang(0, patch0, sems.at[0])
 
-    @pl.when(i + 1 < n)
+    @pl.when(i + 1 < nsteps)
     def _():
         slot = jax.lax.rem(i + 1, 2)
         jax.lax.cond(
             slot == 0,
-            lambda: start_dma(i + 1, patch0, sems.at[0]),
-            lambda: start_dma(i + 1, patch1, sems.at[1]),
+            lambda: start_gang(i + 1, patch0, sems.at[0]),
+            lambda: start_gang(i + 1, patch1, sems.at[1]),
         )
 
     cur = jax.lax.rem(i, 2)
-    pltpu.make_async_copy(
-        feat_refs[0].at[0, pl.ds(0, patch), pl.ds(0, patch), :],
-        patch0, sems.at[cur]).wait()
+    for gg in range(g):
+        # Wait only for THIS roi's patch — later gang members' DMAs keep
+        # landing while earlier members compute.
+        pltpu.make_async_copy(
+            feat_refs[0].at[0, pl.ds(0, patch), pl.ds(0, patch), :],
+            patch0.at[0], sems.at[cur, gg]).wait()
+        idx = i * g + gg
+        x1, y1, x2, y2 = roi_params(idx)
+        h_f, w_f = level_sizes(idx)
+        bin_h = jnp.maximum(y2 - y1, 1.0) / p
+        bin_w = jnp.maximum(x2 - x1, 1.0) / p
+        oy, ox = origins(idx)
+        a = _interp_matrix(y1, bin_h, oy.astype(jnp.float32), p, s, patch,
+                           h_f, jnp.float32)
+        b = _interp_matrix(x1, bin_w, ox.astype(jnp.float32), p, s, patch,
+                           w_f, jnp.float32)
 
-    x1, y1, x2, y2 = roi_params(i)
-    h_f, w_f = level_sizes(i)
-    bin_h = jnp.maximum(y2 - y1, 1.0) / p
-    bin_w = jnp.maximum(x2 - x1, 1.0) / p
-    oy, ox = origins(i)
-    a = _interp_matrix(y1, bin_h, oy.astype(jnp.float32), p, s, patch,
-                       h_f, jnp.float32)
-    b = _interp_matrix(x1, bin_w, ox.astype(jnp.float32), p, s, patch,
-                       w_f, jnp.float32)
+        def pool(slot_ref, a=a, b=b, gg=gg):
+            # Matmuls run in the FEATURE dtype (bf16 in production —
+            # full-rate MXU and half the VMEM read traffic; f32 under the
+            # f32 tests/oracle), with f32 accumulation either way. bf16
+            # rounding of the interp weights is second-order against the
+            # already-bf16 features. The dots read the patch STRAIGHT from
+            # the statically-chosen scratch ref — a lax.cond on the buffer
+            # VALUE materialized a patch-sized VMEM copy per roi (~2 MB),
+            # which dominated the per-pair cost.
+            pt = slot_ref[gg]
+            aa = a.astype(pt.dtype)
+            bb = b.astype(pt.dtype)
+            tmp = jnp.dot(aa, pt.reshape(patch, patch * c),
+                          preferred_element_type=jnp.float32)   # (P, PW·C)
+            # Cast BEFORE the transpose — halves the shuffle bytes.
+            tmp = tmp.astype(pt.dtype).reshape(p, patch, c)
+            tmp = tmp.transpose(1, 0, 2).reshape(patch, p * c)
+            out = jnp.dot(bb, tmp, preferred_element_type=jnp.float32)
+            out = out.reshape(p, p, c).transpose(1, 0, 2)       # (p, q, c)
+            out_ref[gg] = out.astype(out_ref.dtype)
 
-    pt = jax.lax.cond(cur == 0, lambda: patch0[...], lambda: patch1[...])
-    pt = pt.astype(jnp.float32)
+        @pl.when(cur == 0)
+        def _():
+            pool(patch0)
 
-    tmp = jnp.dot(a, pt.reshape(patch, patch * c),
-                  preferred_element_type=jnp.float32)           # (P, PW·C)
-    tmp = tmp.reshape(p, patch, c).transpose(1, 0, 2).reshape(patch, p * c)
-    out = jnp.dot(b, tmp, preferred_element_type=jnp.float32)   # (Pq, P·C)
-    out = out.reshape(p, p, c).transpose(1, 0, 2)               # (p, q, c)
-    out_ref[0] = out.astype(out_ref.dtype)
+        @pl.when(cur != 0)
+        def _():
+            pool(patch1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
@@ -409,32 +453,43 @@ def roi_align_multilevel_pallas(
          * jnp.take(scales, lvl)[:, None])
     slabs = jnp.repeat(jnp.arange(s_dim, dtype=jnp.int32), k)
 
+    # Gang g rois per grid step: one step waits on g patch DMAs and runs g
+    # interp matmuls — the per-step fixed cost (grid sequencing, scalar
+    # address math, DMA branch dispatch) amortizes g×. N is padded to a
+    # multiple of g with index-0-safe zero rois.
+    g = _ML_GANG
+    n_pad = ((n + g - 1) // g) * g
+    if n_pad != n:
+        r = jnp.pad(r, ((0, n_pad - n), (0, 0)))
+        slabs = jnp.pad(slabs, (0, n_pad - n))
+        lvl = jnp.pad(lvl, (0, n_pad - n))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n,),
+        grid=(n_pad // g,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_lvl,
         out_specs=pl.BlockSpec(
-            (1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+            (g, p, p, c), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((patch, patch, c), features[0].dtype),
-            pltpu.VMEM((patch, patch, c), features[0].dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((g, patch, patch, c), features[0].dtype),
+            pltpu.VMEM((g, patch, patch, c), features[0].dtype),
+            pltpu.SemaphoreType.DMA((2, g)),
         ],
     )
     kernel = functools.partial(
-        _roi_align_ml_kernel, p=p, s=sampling_ratio, n=n, n_lvl=n_lvl,
-        hs=hs, ws=ws, c=c)
+        _roi_align_ml_kernel, p=p, s=sampling_ratio, n=n_pad, n_lvl=n_lvl,
+        hs=hs, ws=ws, c=c, g=g)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, p, p, c), features[0].dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, p, p, c), features[0].dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2 ** 20,
         ),
     )(r.reshape(-1), slabs, lvl, *feats_p)
-    return out.reshape(s_dim, k, p, p, c)
+    return out[:n].reshape(s_dim, k, p, p, c)
 
 
 def _roi_align_ml_pallas_fwd(features, strides, rois, levels, output_size,

@@ -273,11 +273,25 @@ class Conv1S2D(nn.Module):
         xs = x.reshape(b, tt, h // 2, 2, w // 2, 2, 3)
         xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
             b, tt, h // 2, w // 2, 12)
-        y = jax.lax.conv_general_dilated(
-            xs.astype(self.dtype), kp.astype(self.dtype),
-            window_strides=(1, 1, 1),
-            padding=[((t - 1) // 2, t // 2), (2, 1), (2, 1)],
-            dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+        # Temporal taps as t shifted 4-D convs with batch B·T (the Conv3d
+        # "inshift" decomposition): the 5-D NTHWC conv emitter chose
+        # internal layouts that materialized ~15 ms/iter of pure copies
+        # around conv1 in the r3 800×1344 trace; the 4-D form matches the
+        # layout every other conv in the net uses.
+        xs = jnp.pad(xs.astype(self.dtype),
+                     ((0, 0), ((t - 1) // 2, t // 2), (0, 0), (0, 0),
+                      (0, 0)))
+        y = None
+        for kt in range(t):
+            xk = jax.lax.dynamic_slice_in_dim(xs, kt, tt, axis=1)
+            yk = jax.lax.conv_general_dilated(
+                xk.reshape(b * tt, h // 2, w // 2, 12),
+                kp[kt].astype(self.dtype),
+                window_strides=(1, 1),
+                padding=[(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = yk if y is None else y + yk
+        y = y.reshape(b, tt, y.shape[1], y.shape[2], 64)
         return AffineChannel(64, dtype=self.dtype, name="bn")(y)
 
 
