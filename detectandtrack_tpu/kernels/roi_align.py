@@ -117,6 +117,36 @@ def _interp_matrix(start, bin_size, origin, p, s, patch, size, dtype):
     return (hat * valid[..., None]).sum(1).astype(dtype) / s  # (p, patch)
 
 
+def _interp_matrix_gang(starts, bin_sizes, origins, p, s, patch, sizes,
+                        dtype):
+    """Batched interp matrices (g, p, patch); args are length-g scalar
+    lists.
+
+    The cheap (p, s) coordinate math stays per-roi (SMEM scalars broadcast
+    over tiny arrays — Mosaic rejects reshaping stacked scalars into
+    broadcastable vectors), but the patch-wide hat/mask/sum — the dominant
+    VPU cost — runs ONCE for the whole gang. Per-roi vector-op issue costs
+    were the measured floor (~10 µs/pair ungamged; patch size and matmul
+    width barely moved it)."""
+    g = len(starts)
+    iy = (jax.lax.broadcasted_iota(jnp.int32, (p, s), 0).astype(jnp.float32)
+          + (jax.lax.broadcasted_iota(jnp.int32, (p, s), 1).astype(
+              jnp.float32) + 0.5) / s)
+    coords_l, valid_l = [], []
+    for gg in range(g):
+        cg = starts[gg] + iy * bin_sizes[gg]                # (p, s) global
+        valid_l.append(((cg > -1.0)
+                        & (cg < sizes[gg])).astype(jnp.float32))
+        cg = jnp.clip(cg, 0.0, sizes[gg] - 1.0) - origins[gg]
+        coords_l.append(jnp.clip(cg, 0.0, patch - 1.0))
+    coords = jnp.stack(coords_l)                            # (g, p, s)
+    valid = jnp.stack(valid_l)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (g, p, s, patch), 3).astype(
+        jnp.float32)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - grid))
+    return (hat * valid[..., None]).sum(2).astype(dtype) / s  # (g, p, patch)
+
+
 def _roi_align_kernel(
     # scalar-prefetch refs
     rois_ref,       # (N·4,) f32 — scaled to feature coords, flattened so
@@ -370,50 +400,59 @@ def _roi_align_ml_kernel(
 
     cur = jax.lax.rem(i, 2)
     for gg in range(g):
-        # Wait only for THIS roi's patch — later gang members' DMAs keep
-        # landing while earlier members compute.
         pltpu.make_async_copy(
             feat_refs[0].at[0, pl.ds(0, patch), pl.ds(0, patch), :],
             patch0.at[0], sems.at[cur, gg]).wait()
-        idx = i * g + gg
-        x1, y1, x2, y2 = roi_params(idx)
-        h_f, w_f = level_sizes(idx)
-        bin_h = jnp.maximum(y2 - y1, 1.0) / p
-        bin_w = jnp.maximum(x2 - x1, 1.0) / p
-        oy, ox = origins(idx)
-        a = _interp_matrix(y1, bin_h, oy.astype(jnp.float32), p, s, patch,
-                           h_f, jnp.float32)
-        b = _interp_matrix(x1, bin_w, ox.astype(jnp.float32), p, s, patch,
-                           w_f, jnp.float32)
 
-        def pool(slot_ref, a=a, b=b, gg=gg):
-            # Matmuls run in the FEATURE dtype (bf16 in production —
-            # full-rate MXU and half the VMEM read traffic; f32 under the
-            # f32 tests/oracle), with f32 accumulation either way. bf16
-            # rounding of the interp weights is second-order against the
-            # already-bf16 features. The dots read the patch STRAIGHT from
-            # the statically-chosen scratch ref — a lax.cond on the buffer
-            # VALUE materialized a patch-sized VMEM copy per roi (~2 MB),
-            # which dominated the per-pair cost.
-            pt = slot_ref[gg]
-            aa = a.astype(pt.dtype)
-            bb = b.astype(pt.dtype)
-            tmp = jnp.dot(aa, pt.reshape(patch, patch * c),
-                          preferred_element_type=jnp.float32)   # (P, PW·C)
-            # Cast BEFORE the transpose — halves the shuffle bytes.
-            tmp = tmp.astype(pt.dtype).reshape(p, patch, c)
-            tmp = tmp.transpose(1, 0, 2).reshape(patch, p * c)
-            out = jnp.dot(bb, tmp, preferred_element_type=jnp.float32)
-            out = out.reshape(p, p, c).transpose(1, 0, 2)       # (p, q, c)
-            out_ref[gg] = out.astype(out_ref.dtype)
+    # Whole-gang batched compute: per-roi scalars gathered into (g,)
+    # vectors, interp matrices built in ONE set of VPU ops, and the two
+    # interpolation contractions run as g-batched dot_generals — per-roi
+    # vector-op/matmul issue overhead was the measured floor (~10 µs/pair
+    # ungamged; patch size and dot width barely moved it).
+    idxs = [i * g + gg for gg in range(g)]
+    prm = [roi_params(ix) for ix in idxs]
+    szs = [level_sizes(ix) for ix in idxs]
+    ors = [origins(ix) for ix in idxs]
+    bin_h = [jnp.maximum(p4[3] - p4[1], 1.0) / p for p4 in prm]
+    bin_w = [jnp.maximum(p4[2] - p4[0], 1.0) / p for p4 in prm]
+    a = _interp_matrix_gang(
+        [p4[1] for p4 in prm], bin_h,
+        [o[0].astype(jnp.float32) for o in ors], p, s, patch,
+        [sz[0] for sz in szs], jnp.float32)
+    b = _interp_matrix_gang(
+        [p4[0] for p4 in prm], bin_w,
+        [o[1].astype(jnp.float32) for o in ors], p, s, patch,
+        [sz[1] for sz in szs], jnp.float32)
 
-        @pl.when(cur == 0)
-        def _():
-            pool(patch0)
+    def pool(slot_ref):
+        # Matmuls run in the FEATURE dtype (bf16 in production — full-rate
+        # MXU and half the VMEM read traffic; f32 under the f32
+        # tests/oracle), f32 accumulation either way; patches are read
+        # straight from the statically-predicated scratch ref (a lax.cond
+        # on the buffer VALUE materialized a 2 MB VMEM copy per roi).
+        pt = slot_ref[...]                                  # (g, P, P, C)
+        aa = a.astype(pt.dtype)
+        bb = b.astype(pt.dtype)
+        tmp = jax.lax.dot_general(
+            aa, pt.reshape(g, patch, patch * c),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # (g, P, PW·C)
+        # Cast BEFORE the transpose — halves the shuffle bytes.
+        tmp = tmp.astype(pt.dtype).reshape(g, p, patch, c)
+        tmp = tmp.transpose(0, 2, 1, 3).reshape(g, patch, p * c)
+        out = jax.lax.dot_general(
+            bb, tmp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # (g, Pq, P·C)
+        out = out.reshape(g, p, p, c).transpose(0, 2, 1, 3)
+        out_ref[...] = out.astype(out_ref.dtype)
 
-        @pl.when(cur != 0)
-        def _():
-            pool(patch1)
+    @pl.when(cur == 0)
+    def _():
+        pool(patch0)
+
+    @pl.when(cur != 0)
+    def _():
+        pool(patch1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
