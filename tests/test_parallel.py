@@ -216,8 +216,12 @@ def test_maybe_init_distributed_single_process(tmp_path):
     import subprocess
     import sys
     code = (
-        "from detectandtrack_tpu.parallel.mesh import maybe_init_distributed\n"
+        # Force CPU via jax.config, not just the env var — a site-installed
+        # platform plugin (the axon TPU tunnel) overrides JAX_PLATFORMS,
+        # and this child must not depend on the tunnel being reachable.
         "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from detectandtrack_tpu.parallel.mesh import maybe_init_distributed\n"
         "assert maybe_init_distributed() is True\n"
         "assert jax.process_count() == 1\n"
         "print('DIST_OK')\n")
