@@ -127,4 +127,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — still emit ONE JSON line
+        # A dead TPU tunnel (or any init/compile failure) should leave a
+        # diagnosable record instead of an empty BENCH artifact.
+        print(json.dumps({
+            "metric": "PoseTrack inference clips/sec/chip",
+            "value": None,
+            "unit": "clips/sec/chip",
+            "error": f"{type(e).__name__}: {e}"[:400],
+        }))
+        raise
