@@ -13,7 +13,13 @@ test oracles for the in-graph path).
 Multi-scale augmentation (`TEST.BBOX_AUG_SCALES`) runs each clip once per
 scale through the bucket mechanism; `merge_multiscale_detections` unions
 the passes in original-image coordinates and re-NMS's to the detection
-budget (the reference's `im_detect_bbox_aug` union heuristic).
+budget (the reference's `im_detect_bbox_aug` union heuristic). With
+`TEST.KPS_AUG_ENABLED`, keypoints are then recomputed in a SECOND device
+phase on the merged boxes — one keypoint-head pass per scale (flip pair
+in-graph), heatmaps averaged device-side, one decode — the reference's
+`im_detect_keypoints_aug` 'hm_avg' heuristic at full heatmap level (see
+`engine.inference.make_kps_aug_fns`); without it, the kept detection's
+own keypoints ride along from its winning pass.
 """
 
 from __future__ import annotations

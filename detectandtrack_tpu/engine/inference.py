@@ -68,6 +68,29 @@ def make_detect_fn(model: GeneralizedRCNN, mesh=None,
                    out_shardings=batch_sharded(mesh))
 
 
+def make_kps_aug_fns(model: GeneralizedRCNN, flip: bool):
+    """Jitted pair for the KPS_AUG multi-scale second phase.
+
+    Parity: `im_detect_keypoints_aug` — the reference re-runs the body +
+    keypoint head per augmentation ON THE FINAL boxes and averages
+    heatmaps ('hm_avg') before a single decode. `hm_fn(params, clips,
+    boxes_scaled)` is one scale pass (flip pair folded in-graph when
+    `flip`); `decode_fn(params, hms (S, B, M, Tk, hs, hs, K),
+    boxes_original)` averages across the S scale passes device-side and
+    decodes once — heatmaps never cross the host link.
+    """
+
+    def hm(params, clips, boxes):
+        return model.apply(params, clips, boxes, flip,
+                           method=GeneralizedRCNN.keypoint_heatmaps_for_boxes)
+
+    def decode(params, hms, boxes):
+        return model.apply(params, jnp.mean(hms, axis=0), boxes,
+                           method=GeneralizedRCNN.decode_keypoints_from_heatmaps)
+
+    return jax.jit(hm), jax.jit(decode)
+
+
 def clip_slice(det: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
     """Batched padded outputs → one clip's dict."""
     out = {"boxes": np.asarray(det["boxes"][i], np.float64),
@@ -170,6 +193,17 @@ def run_inference(
                   if cfg.TEST.BBOX_AUG_ENABLED else [])
     scale_targets = [cfg.TEST.SCALE] + aug_scales
     n_passes = len(scale_targets)
+    # Multi-scale KPS_AUG second phase (reference im_detect_keypoints_aug):
+    # after the box-level merge, re-run the keypoint head per scale ON THE
+    # MERGED boxes and average heatmaps device-side before one decode.
+    kps_aug = (cfg.TEST.KPS_AUG_ENABLED and n_passes > 1
+               and cfg.MODEL.KEYPOINTS_ON)
+    if kps_aug:
+        if mesh is not None:
+            raise NotImplementedError(
+                "multi-scale KPS_AUG runs its second phase under plain jit;"
+                " use --subprocess-shards (not a mesh) to shard it")
+        kps_hm_fn, kps_decode_fn = make_kps_aug_fns(model, use_flip_aug)
 
     # Build the tiling window list (with end-aligned tails). `video_range`
     # restricts to a contiguous video slice — the unit of the reference's
@@ -232,28 +266,86 @@ def run_inference(
                     frame_sink(vid, ordinals[vid][idx],
                                len(ordinals[vid]), fr)
 
+    # Phase-2 (KPS_AUG) machinery: merged clips queue per bucket-tuple so
+    # every batch stacks one static shape per scale pass; heatmaps stay
+    # device-resident across the S passes and the averaged decode — only
+    # the small decoded keypoints cross the host link.
+    p2_queues: Dict[Tuple, List] = {}
+    p2_pending: List = []
+
+    def p2_consume(entry):
+        kps, entries = entry
+        kps = np.asarray(kps)
+        for i, (vid, start, merged, _) in enumerate(entries):
+            merged["keypoints"] = np.asarray(kps[i], np.float64)
+            emit(vid, start, merged)
+
+    def p2_submit(key):
+        entries = p2_queues.pop(key, [])
+        if not entries:
+            return
+        full = list(entries)
+        while len(full) < batch_size:   # pad the tail batch by repetition
+            full.append(full[-1])
+        boxes_orig = np.stack([e[2]["boxes"] for e in full]).astype(
+            np.float32)                                     # (B, D, 4T)
+        hms = []
+        for j in range(n_passes):
+            clips_j = jnp.asarray(np.stack([e[3][j][0] for e in full]))
+            scales_j = np.asarray([e[3][j][1] for e in full], np.float32)
+            boxes_j = jnp.asarray(boxes_orig * scales_j[:, None, None])
+            hms.append(kps_hm_fn(params, clips_j, boxes_j))
+        kps = kps_decode_fn(params, jnp.stack(hms),
+                            jnp.asarray(boxes_orig))
+        p2_pending.append((kps, entries))
+        if len(p2_pending) >= 2:
+            for e in p2_pending[:-1]:
+                p2_consume(e)
+            del p2_pending[:-1]
+
     def consume(entry):
         from .augment import (merge_multiscale_detections,
                               rescale_detections)
         det, metas, bucket = entry
         det = jax.tree.map(np.asarray, det)
-        for bi, (vid, start, scale) in enumerate(metas):
+        for bi, meta in enumerate(metas):
+            vid, start, scale = meta[:3]
             single = clip_slice(det, bi)
             single = rescale_detections(single, scale)
             if n_passes == 1:
                 emit(vid, start, single)
                 continue
+            if kps_aug:
+                single["_pass"] = (meta[3], scale, bucket)
             passes = acc.setdefault((vid, start), [])
             passes.append(single)
             if len(passes) == n_passes:
-                emit(vid, start, merge_multiscale_detections(
-                    passes, t, cfg.TEST.NMS))
+                merged = merge_multiscale_detections(
+                    passes, t, cfg.TEST.NMS)
+                if not kps_aug:
+                    emit(vid, start, merged)
+                else:
+                    # Canonical pass order (by bucket, then scale) so the
+                    # per-scale stacks share static shapes batch-wide.
+                    p2p = sorted((p["_pass"] for p in passes),
+                                 key=lambda x: (x[2], x[1]))
+                    key = tuple(x[2] for x in p2p)
+                    q = p2_queues.setdefault(key, [])
+                    q.append((vid, start, merged, p2p))
+                    if len(q) == batch_size:
+                        p2_submit(key)
                 del acc[(vid, start)]
 
     def flush():
         for entry in pending:
             consume(entry)
         pending.clear()
+        if kps_aug:
+            for key in list(p2_queues):
+                p2_submit(key)
+            for e in p2_pending:
+                p2_consume(e)
+            del p2_pending[:]
 
     # Per-bucket batch queues: clips land in the smallest bucket that fits
     # their scaled shape (config 5 streaming); each bucket shape compiles
@@ -270,7 +362,10 @@ def run_inference(
             full.append(full[-1])
         clips = jnp.asarray(np.stack([it[2]["clips"] for it in full]))
         det = detect(params, clips)
-        metas = [(vid, start, float(it["scale"]))
+        # Phase 2 re-runs the body per scale on the merged boxes, so the
+        # scaled clip pixels ride the meta until the merge completes.
+        metas = [(vid, start, float(it["scale"]),
+                  it["clips"] if kps_aug else None)
                  for (vid, start, it) in items]
         pending.append((det, metas, bucket))
         if len(pending) >= 2:          # double-buffer: read the older one

@@ -363,8 +363,28 @@ class GeneralizedRCNN(nn.Module):
             fc7, det_idx[..., None], axis=1)            # (B, D, 1024)
         return det_boxes, det_scores, det_valid, det_feats
 
-    def _keypoint_outputs(self, passes, det_boxes, image_w):
-        """Keypoint heatmaps + decode on final detections.
+    def _kps_box_prep(self, det_boxes):
+        """Shared keypoint-stage box bookkeeping: score-ranked budget
+        (KRCNN.MAX_ROIS_PER_IM) and the center-frame collapse ablation.
+
+        → (kp_boxes (B, M, 4T), decode_boxes (B, M, 4·t_kp), m_kp, t_kp).
+        """
+        cfg = self.cfg
+        t = self.num_frames
+        b, d_max = det_boxes.shape[:2]
+        m_kp = cfg.KRCNN.MAX_ROIS_PER_IM or d_max
+        m_kp = min(m_kp, d_max)
+        kp_boxes = det_boxes[:, :m_kp]
+        t_kp = t
+        decode_boxes = kp_boxes
+        if cfg.VIDEO.VIDEO_ON and not cfg.VIDEO.PREDICT_ALL_FRAMES:
+            decode_boxes = kp_boxes.reshape(
+                b, m_kp, t, 4)[:, :, t // 2:t // 2 + 1].reshape(b, m_kp, 4)
+            t_kp = 1
+        return kp_boxes, decode_boxes, m_kp, t_kp
+
+    def _keypoint_heatmaps(self, passes, kp_boxes, t_kp, image_w):
+        """Pass-averaged keypoint heatmaps for GIVEN (budgeted) boxes.
 
         `passes`: list of (pyramid, flipped). A flipped pass pools at the
         mirrored boxes from the mirrored-clip pyramid, then its heatmaps are
@@ -373,21 +393,11 @@ class GeneralizedRCNN(nn.Module):
         `keypoint_utils.flip_heatmaps`) run device-side in the same XLA
         program. Bin alignment is exact: RoIAlign bin S-1-j of the mirrored
         box covers the same image pixels as bin j of the original box.
+
+        → (B·M, Tk, S, S, K).
         """
         cfg = self.cfg
         t = self.num_frames
-        b, d_max = det_boxes.shape[:2]
-        m_kp = cfg.KRCNN.MAX_ROIS_PER_IM or d_max
-        m_kp = min(m_kp, d_max)
-        kp_boxes = det_boxes[:, :m_kp]
-
-        t_kp = t
-        det_kp_boxes = kp_boxes
-        if cfg.VIDEO.VIDEO_ON and not cfg.VIDEO.PREDICT_ALL_FRAMES:
-            det_kp_boxes = kp_boxes.reshape(
-                b, m_kp, t, 4)[:, :, t // 2:t // 2 + 1].reshape(b, m_kp, 4)
-            t_kp = 1
-
         hm_sum = None
         for pyramid, flipped in passes:
             boxes_p = (_flip_tubes(kp_boxes, image_w, t) if flipped
@@ -407,12 +417,18 @@ class GeneralizedRCNN(nn.Module):
                     else "coco"))
                 hm = hm[:, :, :, ::-1, :][..., perm]
             hm_sum = hm if hm_sum is None else hm_sum + hm
-        heatmaps = hm_sum / float(len(passes))
+        return hm_sum / float(len(passes))
 
+    def _decode_keypoints(self, heatmaps, kp_boxes, decode_boxes, m_kp,
+                          t_kp, d_max):
+        """Heatmaps (B·M, Tk, S, S, K) + boxes → padded (B, D, T, K, 4)."""
+        cfg = self.cfg
+        t = self.num_frames
+        b = kp_boxes.shape[0]
         s_hm = heatmaps.shape[2]
         n_kp = cfg.KRCNN.NUM_KEYPOINTS
         hm_flat = heatmaps.reshape(b * m_kp * t_kp, s_hm, s_hm, n_kp)
-        rois_flat = det_kp_boxes.reshape(b * m_kp * t_kp, 4)
+        rois_flat = decode_boxes.reshape(b * m_kp * t_kp, 4)
         kps = heatmaps_to_keypoints(
             hm_flat.transpose(0, 3, 1, 2), rois_flat)
         kps = kps.reshape(b, m_kp, t_kp, n_kp, 4)
@@ -433,7 +449,55 @@ class GeneralizedRCNN(nn.Module):
             kps = jnp.pad(kps,
                           ((0, 0), (0, d_max - m_kp), (0, 0), (0, 0),
                            (0, 0)))
+        return kps
+
+    def _keypoint_outputs(self, passes, det_boxes, image_w):
+        """Keypoint heatmaps + decode on final detections."""
+        b, d_max = det_boxes.shape[:2]
+        kp_boxes, decode_boxes, m_kp, t_kp = self._kps_box_prep(det_boxes)
+        heatmaps = self._keypoint_heatmaps(passes, kp_boxes, t_kp, image_w)
+        kps = self._decode_keypoints(heatmaps, kp_boxes, decode_boxes,
+                                     m_kp, t_kp, d_max)
+        s_hm = heatmaps.shape[2]
+        n_kp = self.cfg.KRCNN.NUM_KEYPOINTS
         return kps, heatmaps.reshape(b, m_kp, t_kp, s_hm, s_hm, n_kp)
+
+    def keypoint_heatmaps_for_boxes(self, clips: jnp.ndarray,
+                                    det_boxes: jnp.ndarray,
+                                    flip: bool = False) -> jnp.ndarray:
+        """KPS_AUG second phase: heatmaps for GIVEN detections.
+
+        Parity: `im_detect_keypoints_aug` — the reference re-runs the conv
+        body + keypoint head per augmentation (scale/flip) ON THE FINAL
+        detection boxes and averages heatmaps before one decode. This
+        method is one such pass: `clips` at some TEST scale, `det_boxes`
+        the merged detections in THAT clip's coordinates. Returns
+        (B, M, Tk, S, S, K) pass-averaged (with the in-graph flip pair if
+        `flip`). The caller averages across scales and decodes once with
+        `decode_keypoints_from_heatmaps`.
+        """
+        pyr = self.features(clips)
+        passes = [(pyr, False)]
+        if flip:
+            passes.append((self.features(clips[:, :, :, ::-1]), True))
+        b, d_max = det_boxes.shape[:2]
+        kp_boxes, _, m_kp, t_kp = self._kps_box_prep(det_boxes)
+        hm = self._keypoint_heatmaps(passes, kp_boxes, t_kp,
+                                     float(clips.shape[3]))
+        s_hm = hm.shape[2]
+        n_kp = self.cfg.KRCNN.NUM_KEYPOINTS
+        return hm.reshape(b, m_kp, t_kp, s_hm, s_hm, n_kp)
+
+    def decode_keypoints_from_heatmaps(self, heatmaps: jnp.ndarray,
+                                       det_boxes: jnp.ndarray
+                                       ) -> jnp.ndarray:
+        """Decode (B, M, Tk, S, S, K) averaged heatmaps at det_boxes
+        (ORIGINAL image coords) → (B, D, T, K, 4)."""
+        b, d_max = det_boxes.shape[:2]
+        kp_boxes, decode_boxes, m_kp, t_kp = self._kps_box_prep(det_boxes)
+        hm = heatmaps.reshape((b * m_kp * t_kp,) + heatmaps.shape[3:])
+        return self._decode_keypoints(hm, kp_boxes, decode_boxes, m_kp,
+                                      t_kp, d_max)
 
     def _mask_outputs(self, pyramid, det_boxes):
         cfg = self.cfg

@@ -205,3 +205,49 @@ def test_run_inference_flip_tta_in_graph(tmp_path):
     frames = dets["video_0000"]
     assert len(frames) == 2
     assert frames[0]["keypoints"].shape == (4, 15, 3)
+
+
+@pytest.mark.slow
+def test_run_inference_multiscale_kps_aug(tmp_path):
+    """Multi-scale KPS_AUG (reference im_detect_keypoints_aug): the second
+    phase re-runs the keypoint head per scale on the MERGED boxes and
+    averages heatmaps before one decode. With every aug scale equal to the
+    base scale the passes are identical, so the aug pipeline must
+    reproduce the plain single-scale keypoints exactly (the merge-NMS of
+    duplicated identical detections keeps the originals)."""
+    json_path = generate_synthetic_posetrack(
+        str(tmp_path), num_videos=1, frames_per_video=2,
+        image_hw=(64, 96), people_per_video=1, seed=5)
+    ds = PosetrackDataset(json_path, str(tmp_path))
+    # Both runs use flip TTA (BBOX/KPS_AUG imply hflip, lineage H_FLIP);
+    # only the aug run adds the (duplicate) extra scale, so its second
+    # phase must reproduce the single-scale flip-TTA keypoints.
+    base = load_cfg(opts=TINY + ["TEST.KPS_AUG_ENABLED", True])
+    model = build_model(base)
+    clip = jnp.zeros((1, 1, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+
+    plain = run_inference(base, model, params, ds)
+
+    aug = load_cfg(opts=TINY + [
+        "TEST.BBOX_AUG_ENABLED", True,
+        "TEST.BBOX_AUG_SCALES", "[64]",     # same scale twice
+        "TEST.KPS_AUG_ENABLED", True,
+    ])
+    model2 = build_model(aug)
+    dets = run_inference(aug, model2, params, ds)
+
+    def ranked(fr):
+        # Merge-NMS may reorder identical detections (random-init scores
+        # tie); compare as a set ordered by the full box tuple.
+        b = fr["boxes"]
+        order = np.lexsort(tuple(b[:, i] for i in range(b.shape[1] - 1,
+                                                        -1, -1))
+                           + (-fr["scores"],))
+        return fr["boxes"][order], fr["keypoints"][order]
+
+    for fr_plain, fr_aug in zip(plain["video_0000"], dets["video_0000"]):
+        b_p, k_p = ranked(fr_plain)
+        b_a, k_a = ranked(fr_aug)
+        np.testing.assert_allclose(b_a, b_p, atol=1e-4)
+        np.testing.assert_allclose(k_a[..., :2], k_p[..., :2], atol=1e-3)
