@@ -464,6 +464,12 @@ def assert_and_infer_cfg(cfg: Config) -> Config:
         raise ValueError(
             f"TRACKING.PCKH_NORM {cfg.TRACKING.PCKH_NORM!r}: must be "
             "'box-diag' or 'kps-span'")
+    if cfg.MODEL.RPN_ONLY and (cfg.TEST.BBOX_AUG_ENABLED
+                               or cfg.TEST.KPS_AUG_ENABLED):
+        raise ValueError(
+            "TEST.BBOX_AUG/KPS_AUG with MODEL.RPN_ONLY is unsupported: "
+            "the in-graph TTA path runs the RoI heads, which a "
+            "proposal-only model does not create")
     if not cfg.TRAIN.RPN_ON:
         raise ValueError(
             "TRAIN.RPN_ON=False is unsupported: the lineage's RPN-off mode "

@@ -291,7 +291,18 @@ def run_inference(
             np.float32)                                     # (B, D, 4T)
         hms = []
         for j in range(n_passes):
-            clips_j = jnp.asarray(np.stack([e[3][j][0] for e in full]))
+            # Reload the scaled clip pixels here instead of pinning them
+            # from phase 1 — retaining every in-flight window's padded
+            # clip per scale pass costs ~100 MB each at the eval bucket
+            # and spikes host RSS by GBs; a deterministic re-decode per
+            # pass is the cheaper resource.
+            clips_j = jnp.asarray(np.stack([
+                load_clip(dataset, ClipSpec(e[0], e[1]), t, stride,
+                          cfg.DATA.PIXEL_MEANS, cfg.DATA.PIXEL_STDS,
+                          e[3][j][0], cfg.TEST.MAX_SIZE,
+                          bucket_hw=e[3][j][2], max_gt=1,
+                          num_keypoints=cfg.KRCNN.NUM_KEYPOINTS)["clips"]
+                for e in full]))
             scales_j = np.asarray([e[3][j][1] for e in full], np.float32)
             boxes_j = jnp.asarray(boxes_orig * scales_j[:, None, None])
             hms.append(kps_hm_fn(params, clips_j, boxes_j))
@@ -362,10 +373,11 @@ def run_inference(
             full.append(full[-1])
         clips = jnp.asarray(np.stack([it[2]["clips"] for it in full]))
         det = detect(params, clips)
-        # Phase 2 re-runs the body per scale on the merged boxes, so the
-        # scaled clip pixels ride the meta until the merge completes.
+        # Phase 2 re-runs the body per scale on the merged boxes; the
+        # meta carries the scale TARGET so the clip can be re-decoded
+        # deterministically at phase-2 submit (pixels are not pinned).
         metas = [(vid, start, float(it["scale"]),
-                  it["clips"] if kps_aug else None)
+                  it.get("target") if kps_aug else None)
                  for (vid, start, it) in items]
         pending.append((det, metas, bucket))
         if len(pending) >= 2:          # double-buffer: read the older one
@@ -387,6 +399,7 @@ def run_inference(
                 cfg.DATA.PIXEL_MEANS, cfg.DATA.PIXEL_STDS,
                 target, cfg.TEST.MAX_SIZE, bucket_hw=bucket,
                 max_gt=1, num_keypoints=cfg.KRCNN.NUM_KEYPOINTS)
+            item["target"] = target
             queues[bucket].append((vid, start, item))
             if len(queues[bucket]) == batch_size:
                 submit(bucket)

@@ -215,8 +215,9 @@ def nms_oks(kps: np.ndarray, rois: np.ndarray, thresh: float,
     rois = np.asarray(rois, np.float64)
     inst_scores = kps[:, :, 2].mean(axis=1)
     order = np.argsort(-inst_scores)
-    areas = np.maximum((rois[:, 2] - rois[:, 0])
-                       * (rois[:, 3] - rois[:, 1]), 1.0)
+    # Detectron +1 box-area convention (matches the lineage's nms_oks).
+    areas = np.maximum((rois[:, 2] - rois[:, 0] + 1)
+                       * (rois[:, 3] - rois[:, 1] + 1), 1.0)
     keep: List[int] = []
     for i in order:
         ok = True

@@ -37,8 +37,11 @@ def paste_mask(mask: np.ndarray, box: np.ndarray, im_h: int, im_w: int,
     h_half = max((box[3] - box[1]) * 0.5, 1e-3) * scale
     cx = (box[0] + box[2]) * 0.5
     cy = (box[1] + box[3]) * 0.5
-    x1, x2 = int(cx - w_half + 0.5), int(cx + w_half + 0.5)
-    y1, y2 = int(cy - h_half + 0.5), int(cy + h_half + 0.5)
+    # Truncation, not rounding: segm_results int-casts the expanded box
+    # (astype(np.int32)), and the 1-px placement difference is visible in
+    # mask-AP parity.
+    x1, x2 = int(cx - w_half), int(cx + w_half)
+    y1, y2 = int(cy - h_half), int(cy + h_half)
     bw, bh = max(x2 - x1 + 1, 1), max(y2 - y1 + 1, 1)
 
     resized = cv2.resize(padded, (bw, bh), interpolation=cv2.INTER_LINEAR)

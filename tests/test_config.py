@@ -147,3 +147,15 @@ def test_all_shipped_configs_load_and_validate():
     for p in paths:
         cfg = load_cfg(p)
         assert cfg.MODEL.CONV_BODY in ("resnet18", "resnet50", "resnet101")
+
+
+def test_rpn_only_rejects_tta():
+    """In-graph TTA runs the RoI heads, which MODEL.RPN_ONLY never builds —
+    the combination must fail loudly at config time, not as a flax missing-
+    param error mid-inference."""
+    with pytest.raises(ValueError, match="RPN_ONLY"):
+        load_cfg(opts=["MODEL.RPN_ONLY", True,
+                       "TEST.BBOX_AUG_ENABLED", True])
+    with pytest.raises(ValueError, match="RPN_ONLY"):
+        load_cfg(opts=["MODEL.RPN_ONLY", True,
+                       "TEST.KPS_AUG_ENABLED", True])

@@ -37,10 +37,14 @@ def load_events(trace_dir: str):
 def group(name: str) -> str:
     if name.startswith("jit_") or name.startswith("jit__"):
         return "__program__"
-    # Named flax module scopes keep their identity; bare XLA ops fold
-    # their uniquifier suffix.
-    m = re.match(r"^([A-Za-z_][\w.]*?)(\.\d+)?$", name)
-    return m.group(1) if m else name
+    # Bare XLA op names fold their uniquifier tail (fusion.105 → fusion,
+    # pad.233.clone → pad); named module scopes keep their full identity
+    # (GeneralizedRCNN.roi_transform.2 stays its own row — per-call-site
+    # attribution is the point of the named scopes).
+    parts = name.split(".")
+    if all(seg.isdigit() or seg == "clone" for seg in parts[1:]):
+        return parts[0]
+    return name
 
 
 def main():
