@@ -97,3 +97,37 @@ def test_streaming_equals_two_pass(tmp_path):
             np.testing.assert_array_equal(s["track_ids"], o["track_ids"])
             np.testing.assert_array_equal(s["boxes"], o["boxes"])
             np.testing.assert_array_equal(s["keypoints"], o["keypoints"])
+
+
+@pytest.mark.slow
+def test_streaming_with_multiscale_kps_aug(tmp_path):
+    """Stream mode composed with multi-scale KPS_AUG: frame emission is
+    deferred to the phase-2 (heatmap-average) dispatches, so the sink's
+    in-order, exactly-once contract must survive the extra pipeline stage.
+    Results must equal the non-streamed aug run frame-for-frame."""
+    json_path = generate_synthetic_posetrack(
+        str(tmp_path), num_videos=2, frames_per_video=3,
+        image_hw=(64, 96), people_per_video=1, seed=11)
+    ds = PosetrackDataset(json_path, str(tmp_path))
+    cfg = load_cfg(opts=TINY + [
+        "TEST.BBOX_AUG_ENABLED", True,
+        "TEST.BBOX_AUG_SCALES", "[32]",
+        "TEST.KPS_AUG_ENABLED", True,
+        "TEST.SHAPE_BUCKETS", "[[32, 64], [64, 96]]",
+    ])
+    model = build_model(cfg)
+    clip = jnp.zeros((1, 1, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+
+    sink = StreamingTrackingSink(cfg=cfg)
+    dets = run_inference(cfg, model, params, ds, frame_sink=sink)
+    streamed = sink.results()
+
+    offline = run_posetrack_tracking(dets, cfg=cfg)
+    for vid in offline:
+        assert len(streamed[vid]) == len(offline[vid])
+        for fr_s, fr_o in zip(streamed[vid], offline[vid]):
+            np.testing.assert_array_equal(fr_s["track_ids"],
+                                          fr_o["track_ids"])
+            np.testing.assert_allclose(fr_s["keypoints"],
+                                       fr_o["keypoints"])
