@@ -123,3 +123,20 @@ def test_mask_on_inference_emits_frame_masks():
     single = clip_slice(jax.tree.map(np.asarray, out), 0)
     frames = detections_to_frames(single, num_frames=1, scale=1.0)
     assert frames[0]["masks"].shape == (4, 14, 14)
+
+
+def test_paste_mask_truncates_expanded_box():
+    """segm_results int-casts (truncates) the padded box — rounding up
+    shifts the pasted mask by 1 px for ~half of all boxes (review r3)."""
+    mask = np.ones((4, 4), np.float32)
+    # Expanded x1 = 15.4 − 6.6 = 8.8: truncation → 8; the old
+    # int(x + 0.5) rounding → 9. The mask's own zero padding keeps the
+    # first covered column one in from the box edge, so compare the
+    # paste ORIGIN via the full-row extent at a permissive threshold.
+    box = np.array([11.0, 11.0, 19.8, 19.8])
+    out = paste_mask(mask, box, 40, 40, thresh=0.01)
+    ys, xs = np.nonzero(out)
+    # The origin column itself interpolates to exactly 0 (zero pad ring,
+    # cv2 edge clamp), so the first VISIBLE column is origin+1: 9 under
+    # truncation, 10 under the old rounding.
+    assert xs.min() == 9 and ys.min() == 9

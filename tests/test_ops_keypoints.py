@@ -165,3 +165,27 @@ def test_nms_oks_suppresses_duplicates():
     assert keep == [0, 2]
     # Permissive threshold keeps everything.
     assert sorted(K.nms_oks(kps, rois, thresh=0.999)) == [0, 1, 2]
+
+
+def test_nms_oks_suppresses_duplicates_keeps_distinct():
+    """Greedy pose NMS (lineage nms_oks): an identical lower-scored pose is
+    suppressed; a far-away pose survives. Areas use the +1 convention."""
+    from detectandtrack_tpu.ops.keypoints import nms_oks
+
+    rng = np.random.default_rng(0)
+    base = np.zeros((15, 3))
+    base[:, 0] = rng.uniform(10, 30, 15)
+    base[:, 1] = rng.uniform(10, 30, 15)
+    base[:, 2] = 0.9
+    dup = base.copy()
+    dup[:, 2] = 0.5                      # same pose, lower score
+    far = base.copy()
+    far[:, :2] += 200.0
+    far[:, 2] = 0.7
+    kps = np.stack([base, dup, far])
+    rois = np.array([[10, 10, 30, 30], [10, 10, 30, 30],
+                     [210, 210, 230, 230]], np.float64)
+    keep = nms_oks(kps, rois, thresh=0.8)
+    assert 0 in keep and 2 in keep and 1 not in keep
+    # Rank order: scores 0.9 > 0.7.
+    assert keep == [0, 2]
