@@ -9,6 +9,7 @@ Usage:
   launch --cfg configs/video/foo.yaml --mode train [KEY VALUE]...
   launch --cfg ... --mode test --weights ckpt.npz
   launch --cfg ... --mode track --detections dets.npz
+  launch --cfg ... --mode eval  --detections tracks_dir   (score saved tracks)
   launch --cfg ... --mode stream --weights ckpt.npz   (online detect+track)
   launch --mode demo-data --out data/synthetic   (generate synthetic data)
 """
@@ -30,12 +31,13 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="DetectAndTrack-TPU launcher")
     p.add_argument("--cfg", default=None, help="experiment YAML")
     p.add_argument("--mode", required=True,
-                   choices=["train", "test", "track", "stream", "bench",
+                   choices=["train", "test", "track", "stream", "eval", "bench",
                             "demo-data", "import-weights"])
     p.add_argument("--weights", default=None,
                    help="npz weights (overrides cfg TRAIN/TEST.WEIGHTS)")
     p.add_argument("--detections", default=None,
-                   help="detections pickle for --mode track")
+                   help="detections pickle for --mode track; saved-tracks dir "
+                        "for --mode eval")
     p.add_argument("--out", default=None, help="output dir override")
     p.add_argument("--max-clips", type=int, default=None,
                    help="limit inference clips (debug)")
@@ -312,6 +314,39 @@ def mode_track(args, cfg):
     return _finish_tracking(args, cfg, tracked, logger)
 
 
+def mode_eval(args, cfg):
+    """Score saved PoseTrack-annolist track files against GT without
+    re-running detection or tracking (the reference ecosystem's external
+    `poseval` scorer role — also accepts third-party predictions)."""
+    from ..tracking.engine import evaluate_tracking, read_posetrack_results
+    from ..tracking.evaluation import PoseAnnotation
+    from ..utils.logging_utils import setup_logging
+
+    logger = setup_logging()
+    tracks_dir = args.detections or os.path.join(cfg.OUTPUT_DIR, "tracks")
+    tracked = read_posetrack_results(tracks_dir)
+    ds = _dataset(cfg, cfg.TEST.DATASETS or cfg.TRAIN.DATASETS)
+    gt = {}
+    for vid in ds.videos():
+        frames = []
+        for fr in ds.video_frames(vid):
+            frames.append([
+                PoseAnnotation(
+                    keypoints=p["keypoints"], box=p["box"],
+                    head_box=p["head_box"], track_id=p["track_id"])
+                for p in ds.gt_poses(fr)])
+        # File stems are the writer's sanitized video ids.
+        gt[vid.replace("/", "_")] = frames
+    metrics = evaluate_tracking(tracked, gt, cfg.KRCNN.NUM_KEYPOINTS)
+    summary = {k: v for k, v in metrics.items()
+               if not isinstance(v, list)}
+    logger.info("eval metrics: %s", json.dumps(summary, indent=2))
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    with open(os.path.join(cfg.OUTPUT_DIR, "eval_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
+
+
 def mode_stream(args, cfg):
     """Online detect→track in ONE pass (BASELINE config 5 streaming).
 
@@ -455,6 +490,8 @@ def main(argv=None):
         return mode_track(args, cfg)
     if args.mode == "stream":
         return mode_stream(args, cfg)
+    if args.mode == "eval":
+        return mode_eval(args, cfg)
     if args.mode == "demo-data":
         return mode_demo_data(args, cfg)
     if args.mode == "import-weights":

@@ -170,6 +170,50 @@ def write_posetrack_results(
     return paths
 
 
+def read_posetrack_results(
+    output_dir: str,
+) -> Dict[str, List[dict]]:
+    """Inverse of `write_posetrack_results`: annolist JSONs → tracked dict.
+
+    Keys are the file stems (the writer's "/"→"_"-sanitized video ids).
+    Accepts any PoseTrack-annolist-format predictions — this is the entry
+    point for scoring third-party results with `--mode eval` (the
+    reference ecosystem's external `poseval` scorer role).
+    """
+    out: Dict[str, List[dict]] = {}
+    for name in sorted(os.listdir(output_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(output_dir, name)) as f:
+            annolist = json.load(f)["annolist"]
+        frames = []
+        for entry in annolist:
+            rects = entry.get("annorect", [])
+            boxes, scores, ids, kps = [], [], [], []
+            for r in rects:
+                boxes.append([r["x1"][0], r["y1"][0], r["x2"][0],
+                              r["y2"][0]])
+                scores.append(r.get("score", [1.0])[0])
+                ids.append(r.get("track_id", [0])[0])
+                pts = r["annopoints"][0]["point"]
+                arr = np.zeros((len(pts), 3))
+                for p in pts:
+                    arr[p["id"][0]] = [p["x"][0], p["y"][0],
+                                       p.get("score", [1.0])[0]]
+                kps.append(arr)
+            n = len(boxes)
+            frames.append({
+                "boxes": np.asarray(boxes, float).reshape(n, 4),
+                "scores": np.asarray(scores, float),
+                "track_ids": np.asarray(ids, int),
+                "keypoints": (np.stack(kps) if kps
+                              else np.zeros((0, 0, 3))),
+                "valid": np.ones(n, bool),
+            })
+        out[name[:-5]] = frames
+    return out
+
+
 def evaluate_tracking(
     tracked_by_video: Dict[str, List[dict]],
     gt_by_video: Dict[str, Sequence[Sequence[PoseAnnotation]]],

@@ -144,3 +144,34 @@ def test_pckh_norm_from_cfg():
     assert Tracker.from_cfg(cfg).config.pckh_norm == "kps-span"
     with pytest.raises(ValueError):
         load_cfg(opts=["TRACKING.PCKH_NORM", "head-box"])
+
+
+def test_posetrack_results_roundtrip(tmp_path):
+    """write_posetrack_results → read_posetrack_results is lossless for
+    the fields the evaluator consumes (mode eval / third-party scoring)."""
+    from detectandtrack_tpu.tracking.engine import (
+        read_posetrack_results, write_posetrack_results)
+
+    frames = []
+    rng = np.random.default_rng(0)
+    for fi in range(3):
+        n = 2
+        kps = np.zeros((n, 15, 3))
+        kps[..., 0] = rng.uniform(0, 100, (n, 15))
+        kps[..., 1] = rng.uniform(0, 100, (n, 15))
+        kps[..., 2] = rng.uniform(0.1, 1.0, (n, 15))
+        frames.append({
+            "boxes": rng.uniform(0, 100, (n, 4)),
+            "scores": rng.uniform(0.5, 1.0, n),
+            "keypoints": kps,
+            "track_ids": np.array([fi, fi + 7]),
+        })
+    tracked = {"vid_a": frames}
+    write_posetrack_results(tracked, str(tmp_path))
+    back = read_posetrack_results(str(tmp_path))
+    assert list(back) == ["vid_a"]
+    for fr, orig in zip(back["vid_a"], frames):
+        np.testing.assert_allclose(fr["boxes"], orig["boxes"])
+        np.testing.assert_allclose(fr["scores"], orig["scores"])
+        np.testing.assert_array_equal(fr["track_ids"], orig["track_ids"])
+        np.testing.assert_allclose(fr["keypoints"], orig["keypoints"])
