@@ -186,6 +186,10 @@ class MrcnnCfg:
     ROI_XFORM_SAMPLING_RATIO: int = 2
     DIM_REDUCED: int = 256
     WEIGHT_LOSS_MASK: float = 1.0
+    # Mask-head training RoI budget (0 = all sampled RoIs). Own knob —
+    # reusing KRCNN's budget silently coupled mask batch composition to a
+    # keypoint setting (review r3).
+    TRAIN_MAX_ROIS_PER_IM: int = 64
 
 
 @dataclass(frozen=True)
@@ -464,6 +468,12 @@ def assert_and_infer_cfg(cfg: Config) -> Config:
         raise ValueError(
             f"TRACKING.PCKH_NORM {cfg.TRACKING.PCKH_NORM!r}: must be "
             "'box-diag' or 'kps-span'")
+    if cfg.MODEL.NUM_CLASSES > 2:
+        raise ValueError(
+            f"MODEL.NUM_CLASSES={cfg.MODEL.NUM_CLASSES} is unsupported: "
+            "the GT pipeline and proposal targets are person-only "
+            "(PoseTrack), so multi-class labels would silently train as "
+            "binary — reject loudly instead")
     if cfg.MODEL.RPN_ONLY and (cfg.TEST.BBOX_AUG_ENABLED
                                or cfg.TEST.KPS_AUG_ENABLED):
         raise ValueError(

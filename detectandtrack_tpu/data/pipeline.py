@@ -116,7 +116,10 @@ def load_clip(
     gt_valid = np.zeros((max_gt,), bool)
     gt_masks = (np.zeros((max_gt, t_dim, mask_size, mask_size), np.float32)
                 if mask_size else None)
-    gt_mask_valid = np.zeros((max_gt,), bool) if mask_size else None
+    # Per-(track, frame): an unannotated frame of a masked track must NOT
+    # supervise the mask head toward an empty mask (missing != empty).
+    gt_mask_valid = (np.zeros((max_gt, t_dim), bool) if mask_size
+                     else None)
 
     def rasterize_mask(segm, box):
         """Polygon(s) in ORIGINAL image coords → M×M bitmap in the (scaled)
@@ -163,7 +166,7 @@ def load_clip(
             present[tid][t] = True
             if mask_size and pose.get("segmentation"):
                 gt_masks[row, t] = rasterize_mask(pose["segmentation"], box)
-                gt_mask_valid[row] = True
+                gt_mask_valid[row, t] = True
 
     for tid, row in track_rows.items():
         # A tube is valid if the person appears in every frame (tube GT);
@@ -255,19 +258,32 @@ class ClipBatcher:
                         len(scales))])) for s in specs]
         buckets = [tuple(b) for b in cfg.TEST.SHAPE_BUCKETS]
         batches = []
+
+        def emit(bucket, ss):
+            # Whole batches, plus ONE remainder batch padded by resampling
+            # from the group (train only) — dropping remainders starved
+            # aspect/scale groups smaller than the batch of ALL training
+            # (and an all-remainder epoch yielded zero batches, spinning
+            # the train loop forever; review r3).
+            for i in range(0, len(ss) - batch_size + 1, batch_size):
+                batches.append((bucket, ss[i:i + batch_size]))
+            rem = len(ss) % batch_size
+            if rem and self.train:
+                tail = list(ss[len(ss) - rem:])
+                while len(tail) < batch_size:
+                    tail.append(ss[int(self.rng.integers(len(ss)))])
+                batches.append((bucket, tail))
+
         if self.train and cfg.TRAIN.ASPECT_GROUPING and (
                 len(buckets) > 1 or len(cfg.TRAIN.SCALES) > 1):
             groups: Dict[Tuple[int, int], List[ClipSpec]] = {}
             for s in specs:
                 groups.setdefault(self._bucket_for(s), []).append(s)
             for bucket, ss in groups.items():
-                for i in range(0, len(ss) - batch_size + 1, batch_size):
-                    batches.append((bucket, ss[i:i + batch_size]))
+                emit(bucket, ss)
             self.rng.shuffle(batches)
         else:
-            bucket = buckets[0]
-            for i in range(0, len(specs) - batch_size + 1, batch_size):
-                batches.append((bucket, specs[i:i + batch_size]))
+            emit(buckets[0], specs)
         return batches
 
     def epoch(self, batch_size: int,
@@ -358,8 +374,15 @@ class DeviceLoader:
                 else:
                     batch = self._jax.tree.map(self._jax.device_put, batch)
                 self._q.put(batch)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+            # A loader error must surface in the TRAINING thread, not die
+            # with the worker: a swallowed exception here looked exactly
+            # like a clean end-of-epoch, silently truncating every epoch.
+            self._error = e
         finally:
             self._q.put(self._done)
+
+    _error: Optional[BaseException] = None
 
     def __iter__(self):
         return self
@@ -367,5 +390,8 @@ class DeviceLoader:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None:
+                raise RuntimeError(
+                    "DeviceLoader worker failed") from self._error
             raise StopIteration
         return item

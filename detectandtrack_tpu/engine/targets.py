@@ -31,8 +31,12 @@ class AnchorTargets(NamedTuple):
     weights: jnp.ndarray       # (N,) loss weight (1 for sampled, else 0)
 
 
-def _random_subsample(key, mask: jnp.ndarray, num: int) -> jnp.ndarray:
-    """Keep at most `num` True entries of `mask`, chosen uniformly."""
+def _random_subsample(key, mask: jnp.ndarray, num) -> jnp.ndarray:
+    """Keep at most `num` True entries of `mask`, chosen uniformly.
+
+    `num` may be a traced scalar — the reference refills the sampling
+    batch with background when foreground is scarce, so the bg quota is
+    data-dependent."""
     n = mask.shape[0]
     scores = jax.random.uniform(key, (n,)) + (~mask) * 10.0
     rank = jnp.argsort(jnp.argsort(scores))        # rank among all
@@ -58,8 +62,20 @@ def rpn_targets(
     t = num_frames
     center_gt = gt_tubes.reshape(g, t, 4)[:, t // 2]
 
+    # Anchors straddling the image boundary are ignored (STRADDLE_THRESH).
+    # The reference indexes DOWN to inside anchors before any matching
+    # (lib/roi_data/rpn: inds_inside), so a GT's guaranteed-positive
+    # argmax anchor is the best INSIDE anchor — filtering after the
+    # argmax left edge GTs (whose global-best anchors straddle) with no
+    # positive signal at all.
+    h, w = image_hw
+    inside = ((anchors[:, 0] >= -straddle_thresh)
+              & (anchors[:, 1] >= -straddle_thresh)
+              & (anchors[:, 2] < w + straddle_thresh)
+              & (anchors[:, 3] < h + straddle_thresh))
+
     iou = box_ops.bbox_overlaps(anchors, center_gt)          # (N, G)
-    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    iou = jnp.where(gt_valid[None, :] & inside[:, None], iou, -1.0)
     best_gt = jnp.argmax(iou, axis=1)                        # (N,)
     best_iou = jnp.max(iou, axis=1)
 
@@ -69,25 +85,17 @@ def rpn_targets(
         (iou >= per_gt_best[None, :] - 1e-5) & (iou > 0)
         & gt_valid[None, :], axis=1)
     any_gt = jnp.any(gt_valid)
-    fg = (best_iou >= positive_overlap) | is_best_for_gt
-    bg = (best_iou < negative_overlap) & ~fg
-    fg = fg & any_gt
-    bg = bg | ~any_gt
-
-    # Anchors straddling the image boundary are ignored (STRADDLE_THRESH).
-    h, w = image_hw
-    inside = ((anchors[:, 0] >= -straddle_thresh)
-              & (anchors[:, 1] >= -straddle_thresh)
-              & (anchors[:, 2] < w + straddle_thresh)
-              & (anchors[:, 3] < h + straddle_thresh))
+    fg = ((best_iou >= positive_overlap) | is_best_for_gt) & any_gt
+    bg = ((best_iou < negative_overlap) & ~fg) | ~any_gt
     fg = fg & inside
     bg = bg & inside
 
     k1, k2 = jax.random.split(key)
     num_fg = int(batch_size * fg_fraction)
     fg_keep = _random_subsample(k1, fg, num_fg)
-    num_bg = batch_size - num_fg
-    bg_keep = _random_subsample(k2, bg, num_bg)
+    # Reference refill: bg tops the batch up to batch_size when fg is
+    # scarce (num_bg = batch - ACTUAL fg count, not the static quota).
+    bg_keep = _random_subsample(k2, bg, batch_size - jnp.sum(fg_keep))
 
     labels = jnp.where(fg_keep, 1, jnp.where(bg_keep, 0, -1))
 
@@ -156,7 +164,9 @@ def proposal_targets(
     k1, k2 = jax.random.split(key)
     num_fg = int(batch_size * fg_fraction)
     fg_keep = _random_subsample(k1, fg, num_fg)
-    bg_keep = _random_subsample(k2, bg, batch_size - num_fg)
+    # Reference refill (roi_data/fast_rcnn): bg tops the RoI batch up to
+    # batch_size when fg is scarce.
+    bg_keep = _random_subsample(k2, bg, batch_size - jnp.sum(fg_keep))
     selected = fg_keep | bg_keep
 
     # Order selected rows first (fg then bg), pad to batch_size.

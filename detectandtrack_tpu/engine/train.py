@@ -28,7 +28,7 @@ import optax
 from ..core.config import Config
 from ..models.detector import GeneralizedRCNN
 from ..models.rpn import flatten_rpn_outputs
-from ..ops.anchors import generate_anchors, shifted_anchor_field
+from ..ops.anchors import shifted_anchor_field
 from ..parallel.mesh import DATA_AXIS, Mesh, batch_sharded, replicated
 from ..utils.lr_policy import make_schedule
 from . import losses as L
@@ -43,18 +43,19 @@ class TrainState(NamedTuple):
 
 def _anchor_field_all_levels(cfg: Config, maps) -> np.ndarray:
     """Concatenated anchor field across RPN levels for the given maps."""
+    from ..models.rpn import anchor_cell_for_level
+
     fields = []
     if cfg.FPN.FPN_ON:
         lvls = list(range(cfg.FPN.RPN_MIN_LEVEL, cfg.FPN.RPN_MAX_LEVEL + 1))
         for li, (lvl, fmap) in enumerate(zip(lvls, maps)):
             stride = 2 ** lvl
-            cell = generate_anchors(stride, [cfg.RPN.SIZES[li]],
-                                    cfg.RPN.ASPECT_RATIOS)
+            cell = anchor_cell_for_level(cfg, li, stride)
             fields.append(shifted_anchor_field(cell, stride,
                                                fmap.shape[2], fmap.shape[3]))
     else:
         stride = cfg.RPN.STRIDE
-        cell = generate_anchors(stride, cfg.RPN.SIZES, cfg.RPN.ASPECT_RATIOS)
+        cell = anchor_cell_for_level(cfg, 0, stride)
         fields.append(shifted_anchor_field(cell, stride,
                                            maps[0].shape[2], maps[0].shape[3]))
     return np.concatenate(fields, axis=0)
@@ -172,7 +173,7 @@ def train_forward(module: GeneralizedRCNN, clips, gt_boxes, gt_keypoints,
 
     # ---- Mask head (MODEL.MASK_ON): per-class sigmoid CE on RoI masks ----
     if cfg.MODEL.MASK_ON and gt_masks is not None:
-        mb = min(cfg.KRCNN.TRAIN_MAX_ROIS_PER_IM or s, s)
+        mb = min(cfg.MRCNN.TRAIN_MAX_ROIS_PER_IM or s, s)
         m_rois = ptgt.rois[:, :mb]                     # (B, MB, 4·T)
         m_fg = ptgt.is_fg[:, :mb]
         gi = ptgt.gt_inds[:, :mb]                      # (B, MB)
@@ -180,7 +181,8 @@ def train_forward(module: GeneralizedRCNN, clips, gt_boxes, gt_keypoints,
             gt_boxes, gi[..., None], axis=1)           # (B, MB, 4·T)
         mk_masks = jnp.take_along_axis(
             gt_masks, gi[..., None, None, None], axis=1)  # (B, MB, T, M, M)
-        mk_valid = jnp.take_along_axis(gt_mask_valid, gi, axis=1)
+        # (B, MB, T): per-frame mask-annotation validity rides the match.
+        mk_valid = jnp.take_along_axis(gt_mask_valid, gi[..., None], axis=1)
         m_pooled = module.roi_transform(
             pyramid, m_rois, cfg.MRCNN.ROI_XFORM_RESOLUTION,
             cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO)
@@ -191,7 +193,7 @@ def train_forward(module: GeneralizedRCNN, clips, gt_boxes, gt_keypoints,
             m_rois.reshape(-1, t, 4).reshape(-1, 4),
             mk_boxes.reshape(-1, t, 4).reshape(-1, 4),
             mk_masks.reshape(-1, mg, mg), pm)          # (B·MB·T, P, P)
-        w_mask = jnp.repeat((m_fg & mk_valid).reshape(-1), t)
+        w_mask = (m_fg[..., None] & mk_valid).reshape(-1)
         m_loss = L.mask_loss(
             m_logits[..., 1].reshape(-1, pm, pm),      # person channel
             tgt_masks, w_mask.astype(jnp.float32),

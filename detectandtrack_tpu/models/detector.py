@@ -30,16 +30,15 @@ from ..kernels.roi_align import (
     roi_align_multilevel_pallas,
 )
 from ..ops import boxes as box_ops
-from ..ops.anchors import fpn_anchor_fields, generate_anchors, \
-    shifted_anchor_field
+from ..ops.anchors import fpn_anchor_fields, shifted_anchor_field
 from ..ops.keypoints import heatmaps_to_keypoints
 from ..ops.nms import nms_fixed
 from .backbone import backbone_from_cfg
 from .fpn import FPN
 from .heads import BoxHead2MLP, KeypointHead, MaskHead
-from .rpn import (RPNHead, _center_frame_box, collect_fpn_proposals,
-                  decode_tube_proposals, flatten_rpn_outputs,
-                  generate_proposals_fixed)
+from .rpn import (RPNHead, _center_frame_box, anchor_cell_for_level,
+                  collect_fpn_proposals, decode_tube_proposals,
+                  flatten_rpn_outputs)
 
 
 def _compute_dtype(cfg: Config):
@@ -162,12 +161,7 @@ class GeneralizedRCNN(nn.Module):
             logits, deltas = self.rpn_head(fmap)
             raw.append((logits, deltas))
             scores, deltas = flatten_rpn_outputs(logits, deltas, t)
-            if cfg.FPN.FPN_ON:
-                cell = generate_anchors(stride, [cfg.RPN.SIZES[li]],
-                                        cfg.RPN.ASPECT_RATIOS)
-            else:
-                cell = generate_anchors(stride, cfg.RPN.SIZES,
-                                        cfg.RPN.ASPECT_RATIOS)
+            cell = anchor_cell_for_level(cfg, li, stride)
             field = jnp.asarray(shifted_anchor_field(
                 cell, stride, fmap.shape[2], fmap.shape[3]))
             k_pre = min(pre, scores.shape[1])

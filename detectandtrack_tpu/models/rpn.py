@@ -91,39 +91,19 @@ def _center_frame_box(tubes: jnp.ndarray, num_frames: int) -> jnp.ndarray:
     return tubes[..., c:c + 4]
 
 
-def generate_proposals_fixed(
-    scores: jnp.ndarray,            # (N,) objectness logits, one level
-    deltas: jnp.ndarray,            # (N, 4T)
-    anchors: jnp.ndarray,           # (N, 4)
-    image_hw: Tuple[float, float],
-    num_frames: int,
-    pre_nms_topk: int,
-    post_nms_topk: int,
-    nms_thresh: float,
-    min_size: float = 0.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single-level proposal generation, fully in-graph, static shapes.
+def anchor_cell_for_level(cfg, level_index: int, stride: int):
+    """Per-level RPN anchor cell under the lineage convention: with FPN,
+    ONE RPN.SIZES entry per level; single-level (C4) uses the full SIZES
+    set. Shared by the inference proposal path (detector.propose) and the
+    training target builder (engine.train._anchor_field_all_levels) so the
+    anchor ordering the RPN loss assumes can never diverge from the
+    ordering the logits are produced in."""
+    from ..ops.anchors import generate_anchors
 
-    Returns (tubes (K, 4T), scores (K,), valid (K,)) with K = post_nms_topk.
-    """
-    n = scores.shape[0]
-    k_pre = min(pre_nms_topk, n)
-    top_scores, top_idx = jax.lax.top_k(scores, k_pre)
-    top_deltas = deltas[top_idx]
-    top_anchors = anchors[top_idx]
-    tubes = decode_tube_proposals(top_anchors, top_deltas, image_hw,
-                                  num_frames)
-    rep = _center_frame_box(tubes, num_frames)
-    valid = box_ops.filter_small_boxes(rep, min_size) if min_size > 0 else (
-        jnp.ones((k_pre,), bool))
-    keep_idx, keep_mask = nms_fixed(rep, top_scores, nms_thresh,
-                                    post_nms_topk, valid)
-    # Proposals are constants downstream (lineage semantics): the box/kps
-    # heads must not backprop into the RPN through proposal coordinates —
-    # and differentiating through NMS/top-k gathers bloats the graph.
-    return (jax.lax.stop_gradient(tubes[keep_idx]),
-            jax.lax.stop_gradient(top_scores[keep_idx]),
-            keep_mask)
+    if cfg.FPN.FPN_ON:
+        return generate_anchors(stride, [cfg.RPN.SIZES[level_index]],
+                                cfg.RPN.ASPECT_RATIOS)
+    return generate_anchors(stride, cfg.RPN.SIZES, cfg.RPN.ASPECT_RATIOS)
 
 
 def collect_fpn_proposals(

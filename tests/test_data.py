@@ -139,3 +139,43 @@ def test_multiscale_train_jitter(synth):
     ev = ClipBatcher(synth, cfg, train=False, seed=0)
     assert all(s.scale_target is None
                for _, ss in ev._batch_plan(batch_size=1) for s in ss)
+
+
+def test_batch_plan_covers_remainders(synth):
+    """Review r3: aspect/scale groups smaller than the batch must still be
+    trained on — the plan emits one resample-padded remainder batch per
+    group instead of dropping it (and a tiny dataset can never produce an
+    EMPTY plan, which spun the train loop forever)."""
+    cfg = load_cfg(opts=[
+        "VIDEO.VIDEO_ON", True, "VIDEO.NUM_FRAMES", 3,
+        "TRAIN.SCALES", "[128]", "TRAIN.MAX_SIZE", 200,
+        "TRAIN.MAX_GT_PER_IM", 8, "TRAIN.USE_FLIPPED", False,
+        "TEST.SHAPE_BUCKETS", "[[128, 160]]",
+    ])
+    batcher = ClipBatcher(synth, cfg, train=True, seed=0)
+    n_specs = len(batcher.specs())
+    # A batch size larger than the dataset: one padded batch, not zero.
+    plan = batcher._batch_plan(batch_size=n_specs + 3)
+    assert len(plan) == 1
+    assert len(plan[0][1]) == n_specs + 3
+    # An odd batch size: every spec appears in some batch.
+    plan = batcher._batch_plan(batch_size=3)
+    covered = {(s.video_id, s.start) for _, ss in plan for s in ss}
+    assert covered == {(s.video_id, s.start) for s in batcher.specs()}
+    for _, ss in plan:
+        assert len(ss) == 3
+
+
+def test_device_loader_propagates_worker_errors():
+    """Review r3: a loader-thread exception must surface in the consumer,
+    not masquerade as a clean end-of-epoch."""
+    from detectandtrack_tpu.data.pipeline import DeviceLoader
+
+    def bad_iter():
+        yield {"x": np.zeros((2, 2), np.float32)}
+        raise FileNotFoundError("missing frame on disk")
+
+    loader = DeviceLoader(bad_iter(), prefetch=1)
+    next(loader)                         # first batch is fine
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(loader)

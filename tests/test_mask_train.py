@@ -47,7 +47,7 @@ def test_mask_loss_trains_the_mask_head():
         "gt_keypoints": gtk,
         "gt_valid": jnp.ones((b, g), bool),
         "gt_masks": jnp.asarray(masks),
-        "gt_mask_valid": jnp.ones((b, g), bool),
+        "gt_mask_valid": jnp.ones((b, g, t), bool),  # per-(track, frame)
     }
     params = model.init(jax.random.PRNGKey(0), clips[:1])
     state = create_train_state(cfg, params)
