@@ -20,8 +20,10 @@ and per-pair feature-slab indices.
 
 Coordinate semantics match Detectron's RoIAlign: continuous coordinates,
 `spatial_scale` applied to box coords, `roi_size = max(end - start, 1)`,
-sampling_ratio² samples per bin at bin-interior positions, samples outside
-[-1, size] contribute zero, in-range samples clamp to [0, size-1].
+sampling_ratio² samples per bin at bin-interior positions, samples STRICTLY outside
+[-1, size] contribute zero (Caffe2 skips only y < -1 or y > height —
+boundary samples are clamped and included), in-range samples clamp to
+[0, size-1].
 
 A pure-XLA reference implementation (`roi_align_reference`) provides the
 numpy-checkable oracle, the CPU path, and the backward pass (the Pallas
@@ -75,8 +77,8 @@ def roi_align_reference(
         iy = jnp.arange(p)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s
         ys = y1 + iy * bin_h                                  # (P, s)
         xs = x1 + iy * bin_w
-        yv = ((ys > -1.0) & (ys < h)).astype(features.dtype)
-        xv = ((xs > -1.0) & (xs < w)).astype(features.dtype)
+        yv = ((ys >= -1.0) & (ys <= h)).astype(features.dtype)
+        xv = ((xs >= -1.0) & (xs <= w)).astype(features.dtype)
         yc = jnp.clip(ys, 0.0, h - 1.0)
         xc = jnp.clip(xs, 0.0, w - 1.0)
 
@@ -106,7 +108,7 @@ def _interp_matrix(start, bin_size, origin, p, s, patch, size, dtype):
           + (jax.lax.broadcasted_iota(jnp.int32, (p, s), 1).astype(
               jnp.float32) + 0.5) / s)
     coords = start + iy * bin_size                          # (p, s) global
-    valid = ((coords > -1.0) & (coords < size)).astype(jnp.float32)
+    valid = ((coords >= -1.0) & (coords <= size)).astype(jnp.float32)
     coords = jnp.clip(coords, 0.0, size - 1.0) - origin     # patch-local
     # Patch is positioned to contain all in-range samples; clamp is a no-op
     # except for degenerate oversized RoIs (see _patch_origin).
@@ -135,8 +137,8 @@ def _interp_matrix_gang(starts, bin_sizes, origins, p, s, patch, sizes,
     coords_l, valid_l = [], []
     for gg in range(g):
         cg = starts[gg] + iy * bin_sizes[gg]                # (p, s) global
-        valid_l.append(((cg > -1.0)
-                        & (cg < sizes[gg])).astype(jnp.float32))
+        valid_l.append(((cg >= -1.0)
+                        & (cg <= sizes[gg])).astype(jnp.float32))
         cg = jnp.clip(cg, 0.0, sizes[gg] - 1.0) - origins[gg]
         coords_l.append(jnp.clip(cg, 0.0, patch - 1.0))
     coords = jnp.stack(coords_l)                            # (g, p, s)
@@ -668,7 +670,11 @@ def roi_align_multilevel(
             # contract always holds.
             patch = _round8(max(feat.shape[0], feat.shape[1])) + _ALIGN
         else:
-            patch = _PATCH
+            # The FPN level bound is sqrt(area) < 28 cells, so elongated
+            # person boxes span up to ~56 cells on their long side — the
+            # 40-cell default patch violated the span contract for any
+            # aspect beyond ~2:1 (review r3); use the 64-cell ML patch.
+            patch = _ML_PATCH
         outs.append(
             roi_align(feat, rois, output_size, sampling_ratio,
                       1.0 / stride, use_pallas, patch))
@@ -743,7 +749,7 @@ def roi_align_multilevel_batched(
         if i == len(features) - 1:
             patch = _round8(max(feat.shape[1], feat.shape[2])) + _ALIGN
         else:
-            patch = _PATCH
+            patch = _ML_PATCH    # span contract: see roi_align_multilevel
         outs.append(
             roi_align_batched(feat, rois, slabs, output_size, sampling_ratio,
                               1.0 / stride, use_pallas, patch))
@@ -771,7 +777,7 @@ def _hat_matrix(starts, bin_sizes, p, s, size, dtype):
     iy = (jnp.arange(p, dtype=jnp.float32)[:, None]
           + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s)  # (P, s)
     coords = starts[:, None, None] + iy[None] * bin_sizes[:, None, None]
-    valid = ((coords > -1.0) & (coords < size)).astype(jnp.float32)
+    valid = ((coords >= -1.0) & (coords <= size)).astype(jnp.float32)
     coords = jnp.clip(coords, 0.0, size - 1.0)
     grid = jnp.arange(size, dtype=jnp.float32)
     hat = jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - grid))
@@ -905,7 +911,7 @@ def _roi_align_hybrid_block(features, rois, output_size, sampling_ratio,
     iy = (jnp.arange(p, dtype=jnp.float32)[:, None]
           + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s).reshape(-1)
     xs = x1[:, None] + iy[None, :] * bin_w[:, None]          # (S·K, PS)
-    xv = ((xs > -1.0) & (xs < w)).astype(jnp.float32)
+    xv = ((xs >= -1.0) & (xs <= w)).astype(jnp.float32)
     xc = jnp.clip(xs, 0.0, w - 1.0)
     x0 = jnp.floor(xc)
     wx1 = xc - x0
@@ -1032,8 +1038,8 @@ def roi_align_multilevel_gather(
     ys = y1[..., None] + iy * bin_h[..., None]               # (S, K, PS)
     xs = x1[..., None] + iy * bin_w[..., None]
 
-    yv = (ys > -1.0) & (ys < h_l[..., None])
-    xv = (xs > -1.0) & (xs < w_l[..., None])
+    yv = (ys >= -1.0) & (ys <= h_l[..., None])
+    xv = (xs >= -1.0) & (xs <= w_l[..., None])
     yc = jnp.clip(ys, 0.0, h_l[..., None] - 1.0)
     xc = jnp.clip(xs, 0.0, w_l[..., None] - 1.0)
 

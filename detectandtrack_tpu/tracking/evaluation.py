@@ -178,15 +178,21 @@ class PosetrackEvaluator:
 
     def summarize(self) -> Dict[str, float]:
         aps = np.array([self._ap(j) for j in range(self.k)])
-        n = np.maximum(self._n_gt, 1)
-        mota_j = 1.0 - (self._fn + self._fp + self._idsw) / n
+        # A joint with zero GT annotations is excluded (NaN + nanmean),
+        # like AP — dividing its FP count by max(n_gt, 1)=1 produced an
+        # unbounded negative MOTA term (review r3).
+        mota_j = np.where(
+            self._n_gt > 0,
+            1.0 - (self._fn + self._fp + self._idsw)
+            / np.maximum(self._n_gt, 1),
+            np.nan)
         motp_j = np.where(self._dist_cnt > 0,
                           self._dist_sum / np.maximum(self._dist_cnt, 1),
                           np.nan)
         return {
             "mAP": float(np.nanmean(aps) * 100.0),
             "AP_per_joint": (aps * 100.0).tolist(),
-            "MOTA": float(np.mean(mota_j) * 100.0),
+            "MOTA": float(np.nanmean(mota_j) * 100.0),
             "MOTA_per_joint": (mota_j * 100.0).tolist(),
             "MOTP": (float(np.nanmean(motp_j))
                      if np.isfinite(motp_j).any() else float("nan")),
@@ -357,7 +363,11 @@ def eval_keypoint_ap_oks(
     all_scores: List[float] = []
     all_matches: List[np.ndarray] = []   # per prediction: OKS vs matched gt
     n_gt = 0
-    for img, gts in gts_by_image.items():
+    # Union of keys: a prediction on an image absent from the GT dict is a
+    # false positive, same as the box/mask evaluators (review r3).
+    images = set(gts_by_image) | set(preds_by_image)
+    for img in images:
+        gts = gts_by_image.get(img, [])
         preds = sorted(preds_by_image.get(img, []), key=lambda p: -p.score)
         n_gt += len(gts)
         if not gts:
@@ -390,35 +400,4 @@ def eval_keypoint_ap_oks(
                     row[ti] = 1.0
             all_matches.append(row)
 
-    if n_gt == 0:
-        return {"AP": float("nan"), "AP50": float("nan"),
-                "AP75": float("nan")}
-    order = np.argsort(-np.asarray(all_scores))
-    m = (np.stack(all_matches)[order] if all_matches
-         else np.zeros((0, len(thresholds))))
-    aps = []
-    for ti in range(len(thresholds)):
-        tp = np.cumsum(m[:, ti])
-        fp = np.cumsum(1 - m[:, ti])
-        recall = tp / n_gt
-        precision = tp / np.maximum(tp + fp, 1)
-        mrec = np.concatenate([[0.0], recall])
-        # Sentinel 0 so the backward max sets precision-at-recall-0 to the
-        # best achieved precision (pycocotools semantics), not 1.0.
-        mpre = np.concatenate([[0.0], precision])
-        for i in range(len(mpre) - 2, -1, -1):
-            mpre[i] = max(mpre[i], mpre[i + 1])
-        # Trailing 0 sentinel: recall thresholds above the max achieved
-        # recall get precision 0 (pycocotools leaves those entries at 0),
-        # not the last achieved precision.
-        mpre = np.append(mpre, 0.0)
-        # 101-point interpolation (COCO)
-        q = np.linspace(0, 1, 101)
-        idx = np.searchsorted(mrec, q, side="left")
-        aps.append(np.mean(mpre[idx]))
-    aps = np.asarray(aps)
-    return {
-        "AP": float(aps.mean() * 100.0),
-        "AP50": float(aps[0] * 100.0),
-        "AP75": float(aps[5] * 100.0),
-    }
+    return _summarize_ap(all_scores, all_matches, n_gt, thresholds)

@@ -19,7 +19,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.keypoints import POSETRACK_OKS_SIGMAS
 
 _HIGH_COST = 1e6
 
