@@ -111,5 +111,11 @@ def keypoint_loss(
     if normalize_by_visible:
         denom = jnp.maximum(jnp.sum(weights), 1.0)
     else:
-        denom = float(s * k)
+        # The lineage's non-normalized mode still averages over the VALID
+        # labels (SoftmaxWithLoss default normalization over non-ignored
+        # entries), not over every padded slot — dividing by the static
+        # S·K shrank the keypoint gradient by the padding ratio (review
+        # r3). With fixed batches the distinction is a per-batch constant
+        # in the reference; here slots vary with fg count.
+        denom = jnp.maximum(jnp.sum(weights > 0), 1)
     return loss_weight * jnp.sum(nll * weights) / denom

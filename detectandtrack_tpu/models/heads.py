@@ -20,7 +20,7 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .backbone import Conv3d
+from .backbone import Bottleneck, Conv3d
 
 
 class BoxHead2MLP(nn.Module):
@@ -88,18 +88,23 @@ class KeypointHead(nn.Module):
             x = nn.relu(Conv3d(self.conv_dim, (1, ck, ck), use_bias=True,
                                dtype=self.dtype, name=f"conv_fcn{i + 1}")(x))
         x = x[:, 0]                                       # (R·T, P, P, C)
-        # Deconv ×2 (kernel 4, stride 2), then nearest ×2 → 4·P output
-        # (P=14 → 56, the lineage heatmap size). flax ConvTranspose padding
-        # ((2,2),(2,2)) is the Caffe2/torch deconv stride-2 pad-1 geometry
-        # (verified numerically vs torch; kernel must be spatially flipped
-        # when importing Caffe2 weights — see utils/detectron_import.py).
-        x = nn.ConvTranspose(self.conv_dim // 2, (4, 4), strides=(2, 2),
-                             padding=((2, 2), (2, 2)), dtype=self.dtype,
-                             name="kps_deconv")(x)
-        x = nn.relu(x)
-        logits = nn.Conv(self.num_keypoints, (1, 1), dtype=jnp.float32,
-                         kernel_init=nn.initializers.normal(0.001),
-                         name="kps_score")(x.astype(jnp.float32))
+        # Lineage USE_DECONV_OUTPUT head: the OUTPUT layer IS one deconv —
+        # ConvTranspose(conv_dim → K, 4×4, stride 2), blob kps_score_lowres
+        # — no intermediate deconv, no relu, no 1×1 (keypoint_rcnn_heads.
+        # add_keypoint_outputs; the deconv→256→relu→1×1 variant reviewed
+        # out in r3 was a detectron2-era head that real DetectAndTrack
+        # checkpoints cannot load). flax ConvTranspose padding ((2,2),(2,2))
+        # is the Caffe2/torch deconv stride-2 pad-1 geometry (verified
+        # numerically vs torch; Caffe2 kernels are IOHW and spatially
+        # flipped on import — see utils/detectron_import.py). The lineage
+        # then nearest-upsamples ×UP_SCALE to HEATMAP_SIZE (its custom
+        # UpsampleNearest op) — folded away: argmax/softmax-CE over the
+        # repeated grid are algebraically identical on the 2P grid.
+        logits = nn.ConvTranspose(
+            self.num_keypoints, (4, 4), strides=(2, 2),
+            padding=((2, 2), (2, 2)), dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(0.001),
+            name="kps_score_lowres")(x.astype(jnp.float32))
         size = logits.shape[1]
         return logits.reshape(r, t, size, size, self.num_keypoints)
 
@@ -148,7 +153,6 @@ class Res5BoxHead(nn.Module):
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):
-        from .backbone import Bottleneck
         x = roi_feats                                     # (R, T, P, P, C)
         for b in range(3):
             x = Bottleneck(

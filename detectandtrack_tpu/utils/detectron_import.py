@@ -97,6 +97,9 @@ def blob_candidates(path: Sequence[str], conv_body: str) -> List[str]:
             if stage == "res5":
                 return [f"fpn_inner_{stage}_{n}_sum{sfx}"]
             return [f"fpn_inner_{stage}_{n}_sum_lateral{sfx}"]
+        if kind == "extra":                   # extra_p6 (EXTRA_CONV_LEVELS)
+            # Detectron names the extra coarse conv after its level.
+            return [f"fpn_{name}{sfx}", f"fpn_6{sfx}"]
         stage = "res" + name[1]               # p2 → res2
         return [f"fpn_{stage}_{last[stage]}_sum{sfx}"]
 
@@ -117,9 +120,11 @@ def blob_candidates(path: Sequence[str], conv_body: str) -> List[str]:
 
     if mod == "kps_head":
         sfx = _suffix(leaf, False)
-        if p[1] == "kps_score":
-            return ["kps_score" + sfx, "kps_score_lowres" + sfx]
-        return [p[1] + sfx]                   # conv_fcn{i}, kps_deconv
+        if p[1] == "kps_score_lowres":
+            # Our output layer IS the lineage deconv blob; tolerate the
+            # non-deconv name too (USE_DECONV_OUTPUT=False checkpoints).
+            return ["kps_score_lowres" + sfx, "kps_score" + sfx]
+        return [p[1] + sfx]                   # conv_fcn{i}
 
     if mod == "mask_head":
         sfx = _suffix(leaf, False)
@@ -160,7 +165,7 @@ def convert_blob(blob: np.ndarray, path: Sequence[str],
     if name in ("scale",) or blob.ndim == 1:
         return blob                                        # bias / affine
 
-    if parent == "kps_deconv":
+    if parent == "kps_score_lowres" and blob.ndim == 4:
         # Caffe2 deconv (ci, co, kh, kw) → flax (kh, kw, ci, co), spatially
         # flipped (verified vs torch ConvTranspose2d).
         return np.ascontiguousarray(
@@ -215,6 +220,19 @@ def convert_blob(blob: np.ndarray, path: Sequence[str],
 # Head surgery (class-count / joint-count mismatches)
 # ---------------------------------------------------------------------------
 
+def _inflate_fc_rows(converted, template_rows, report, full):
+    """2D FC kernel → T-frame flat input (frame-major (T, C) rows): tile
+    the rows /T so the output equals the 2D head on the frame-mean — the
+    FC analogue of mean conv inflation. No-op when rows already match."""
+    if (converted.ndim == 2 and converted.shape[0] != template_rows
+            and template_rows % converted.shape[0] == 0):
+        t = template_rows // converted.shape[0]
+        converted = np.tile(converted / t, (t, 1))
+        report["surgery"].append(
+            f"{full}: FC input rows inflated ×{t} (mean over frames)")
+    return converted
+
+
 def _coco_to_posetrack_joint_map() -> List[Tuple[int, int]]:
     """(posetrack_idx, coco_idx) pairs for joints present in both vocabs."""
     pairs = []
@@ -236,7 +254,7 @@ def _surgery(converted: np.ndarray, template: np.ndarray,
     out = np.array(template)                   # start from fresh init
     full = "/".join(path)
 
-    if parent == "kps_score":
+    if parent == "kps_score_lowres":
         # COCO-17 → PoseTrack-15 on the output-channel axis (last).
         if converted.shape[:-1] != template.shape[:-1]:
             return None
@@ -252,6 +270,9 @@ def _surgery(converted: np.ndarray, template: np.ndarray,
         # COCO 81-class → 2-class: [background, person].
         src_cls = converted.shape[-1]
         if src_cls < 2:
+            return None
+        converted = _inflate_fc_rows(converted, out.shape[0], report, full)
+        if converted.shape[:-1] != out.shape[:-1]:
             return None
         idx = [0, _COCO_PERSON]
         out[..., 0] = converted[..., idx[0]]
@@ -275,8 +296,11 @@ def _surgery(converted: np.ndarray, template: np.ndarray,
 
     if parent == "bbox_pred":
         # (…, src_cls·4) → (…, 2·4·T): person deltas tiled per frame.
+        converted = _inflate_fc_rows(converted, out.shape[0], report, full)
         src = converted.reshape(converted.shape[:-1] + (-1, 4))
         if src.shape[-2] < 2:
+            return None
+        if converted.ndim == 2 and converted.shape[0] != out.shape[0]:
             return None
         t = num_frames
         tgt = out.reshape(out.shape[:-1] + (2, t, 4))
@@ -333,7 +357,6 @@ def import_detectron_weights(
             report["missing"].append(full)
             out_leaves.append(leaf)
             continue
-        used.add(blob_name)
         roi_res = (cfg.FAST_RCNN.ROI_XFORM_RESOLUTION
                    if names[0] == "box_head" else
                    cfg.KRCNN.ROI_XFORM_RESOLUTION)
@@ -341,11 +364,16 @@ def import_detectron_weights(
                                  tuple(np.shape(leaf)), mode, roi_res,
                                  num_frames=t)
         if converted.shape == tuple(np.shape(leaf)):
+            used.add(blob_name)
             out_leaves.append(converted.astype(np.asarray(leaf).dtype))
             report["mapped"].append(f"{full} ← {blob_name}")
             continue
         fixed = _surgery(converted, np.asarray(leaf), names, t, report)
         if fixed is not None:
+            # Mark used only on success — a shape-rejected blob must stay
+            # on the "unused" list so a silently-dropped checkpoint weight
+            # is visible to the operator (review r3).
+            used.add(blob_name)
             out_leaves.append(fixed.astype(np.asarray(leaf).dtype))
         else:
             report["missing"].append(
@@ -382,7 +410,7 @@ def flax_params_to_blobs(params: Any, cfg) -> Dict[str, np.ndarray]:
         name = cands[0]
         arr = np.asarray(leaf, np.float32)
         parent = names[-2] if len(names) >= 2 else ""
-        if parent in ("kps_deconv", "conv5_mask") and arr.ndim == 4:
+        if parent in ("kps_score_lowres", "conv5_mask") and arr.ndim == 4:
             arr = np.ascontiguousarray(
                 arr[::-1, ::-1].transpose(2, 3, 0, 1))
         elif arr.ndim == 5:
@@ -394,13 +422,15 @@ def flax_params_to_blobs(params: Any, cfg) -> Dict[str, np.ndarray]:
             arr = arr.transpose(3, 2, 0, 1)
         elif arr.ndim == 2:
             if parent == "fc6":
+                # The (channels, frames) split comes from the cfg, not a
+                # divisibility guess — FPN.DIM=512 at P=7 satisfied the
+                # 256-channel guess first and exported a bogus 5-D blob
+                # for a 2D model (review r3).
                 in_dim, out_dim = arr.shape
-                c = in_dim // (p_box * p_box)
-                t_src = 1
-                for cc in (256, 512, 1024, 2048):
-                    if in_dim % (cc * p_box * p_box) == 0:
-                        c, t_src = cc, in_dim // (cc * p_box * p_box)
-                        break
+                c = cfg.FPN.DIM
+                t_src = in_dim // (c * p_box * p_box)
+                assert t_src * c * p_box * p_box == in_dim, (
+                    parent, arr.shape, c, p_box)
                 w = arr.reshape(t_src, p_box, p_box, c, out_dim)
                 if t_src == 1:
                     arr = w[0].transpose(3, 2, 0, 1).reshape(out_dim, -1)

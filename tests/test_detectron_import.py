@@ -83,8 +83,9 @@ def test_blob_name_derivation():
         ("rpn_head", "conv", "kernel"), "resnet50")
     assert blob_candidates(("box_head", "fc6", "kernel"),
                            "resnet50") == ["fc6_w"]
-    assert "kps_score_w" in blob_candidates(
-        ("kps_head", "kps_score", "kernel"), "resnet50")
+    assert blob_candidates(
+        ("kps_head", "kps_score_lowres", "kernel"),
+        "resnet50")[0] == "kps_score_lowres_w"
     assert "_[mask]_fcn1_w" in blob_candidates(
         ("mask_head", "mask_fcn1", "kernel"), "resnet50")
 
@@ -164,9 +165,11 @@ def test_coco_head_surgery(m2d):
     cfg, params = m2d
     blobs = flax_params_to_blobs(params, cfg)
     rng = np.random.default_rng(0)
-    ci = blobs["kps_score_w"].shape[1]
-    blobs["kps_score_w"] = rng.normal(size=(17, ci, 1, 1)).astype(np.float32)
-    blobs["kps_score_b"] = rng.normal(size=(17,)).astype(np.float32)
+    # Lineage USE_DECONV_OUTPUT blob: IOHW deconv (ci, K, 4, 4).
+    ci = blobs["kps_score_lowres_w"].shape[0]
+    blobs["kps_score_lowres_w"] = rng.normal(
+        size=(ci, 17, 4, 4)).astype(np.float32)
+    blobs["kps_score_lowres_b"] = rng.normal(size=(17,)).astype(np.float32)
     hid = blobs["cls_score_w"].shape[1]
     blobs["cls_score_w"] = rng.normal(size=(81, hid)).astype(np.float32)
     blobs["cls_score_b"] = rng.normal(size=(81,)).astype(np.float32)
@@ -178,8 +181,11 @@ def test_coco_head_surgery(m2d):
     assert len(report["surgery"]) >= 4
     p = imported["params"]
 
-    ks = np.asarray(p["kps_head"]["kps_score"]["kernel"])   # (1,1,ci,15)
-    src = blobs["kps_score_w"].transpose(2, 3, 1, 0)        # (1,1,ci,17)
+    # Deconv conversion: IOHW → HWIO with spatial flip, then the joint
+    # map applies on the output-channel (last) axis.
+    ks = np.asarray(
+        p["kps_head"]["kps_score_lowres"]["kernel"])        # (4,4,ci,15)
+    src = blobs["kps_score_lowres_w"].transpose(2, 3, 0, 1)[::-1, ::-1]
     mapped = 0
     for pi, name in enumerate(POSETRACK_KEYPOINTS):
         if name in COCO_KEYPOINTS:
@@ -219,7 +225,7 @@ def test_deconv_semantics_vs_torch():
         torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
         stride=2, padding=1).numpy().transpose(0, 2, 3, 1)
 
-    k = convert_blob(w, ("kps_head", "kps_deconv", "kernel"),
+    k = convert_blob(w, ("kps_head", "kps_score_lowres", "kernel"),
                      (4, 4, ci, co))
     mod = nn.ConvTranspose(co, (4, 4), strides=(2, 2),
                            padding=((2, 2), (2, 2)), use_bias=False)
@@ -258,3 +264,50 @@ def test_round_trip_resnext():
                                jax.tree.flatten_with_path(imported)[0]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+def test_c4_video_fc_inflation():
+    """Review r3: importing a 2D checkpoint into a C4 (Res5BoxHead) VIDEO
+    model must inflate the cls/bbox FC input rows (T·2048 vs 2048) by
+    mean-tiling instead of crashing on a broadcast mismatch."""
+    cfg = load_cfg(opts=[
+        "MODEL.CONV_BODY", "resnet50",
+        "MODEL.COMPUTE_DTYPE", "float32",
+        "MODEL.KEYPOINTS_ON", False,
+        "FPN.FPN_ON", False,
+        "FAST_RCNN.ROI_BOX_HEAD", "res5_head",
+        "VIDEO.VIDEO_ON", True, "VIDEO.NUM_FRAMES", 3,
+        "VIDEO.TIME_KERNEL_DIM", "[1, 1, 1, 1, 1]",
+        "RPN.SIZES", "[32, 64, 128, 256, 512]",
+        "RPN.PRE_NMS_TOP_N_TEST", 64,
+        "RPN.POST_NMS_TOP_N_TEST", 16,
+        "TEST.DETECTIONS_PER_IM", 4,
+        "TEST.SHAPE_BUCKETS", "[[64, 64]]",
+    ])
+    model = build_model(cfg)
+    clips = jnp.zeros((1, 3, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clips)
+
+    # A 2D COCO-style source: 81 classes, single-frame FC heads.
+    rng = np.random.default_rng(0)
+    blobs = {
+        "cls_score_w": rng.normal(size=(81, 2048)).astype(np.float32),
+        "cls_score_b": rng.normal(size=(81,)).astype(np.float32),
+        "bbox_pred_w": rng.normal(size=(324, 2048)).astype(np.float32),
+        "bbox_pred_b": rng.normal(size=(324,)).astype(np.float32),
+    }
+    imported, report = import_detectron_weights(blobs, params, cfg)
+    assert any("FC input rows inflated" in s for s in report["surgery"])
+    cs = np.asarray(imported["params"]["box_head"]["cls_score"]["kernel"])
+    assert cs.shape[0] == 3 * 2048
+    # Mean-tiling: identical frame features reproduce the 2D person logit.
+    x2d = rng.normal(size=(2048,)).astype(np.float32)
+    x3d = np.tile(x2d, 3)
+    got = x3d @ cs[:, 1]
+    want = x2d @ blobs["cls_score_w"][_person_row()].astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def _person_row():
+    from detectandtrack_tpu.utils.detectron_import import _COCO_PERSON
+    return _COCO_PERSON
