@@ -27,6 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CAFFE2_GPU_CLIPS_PER_SEC_ESTIMATE = 0.5
 
+# Persistent compilation cache: every cold compile over the axon
+# remote-compile tunnel costs 10-20 min (STATUS measurement notes); a warm
+# cache turns a repeat bench (e.g. the driver's end-of-round run after a
+# builder already benched the same graph) into seconds. Must be set before
+# jax initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dat_jax_cache")
+
 
 def main():
     import jax
