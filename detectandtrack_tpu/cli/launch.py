@@ -101,7 +101,7 @@ def mode_train(args, cfg):
         shard_batch
     from ..utils.checkpoint import (latest_checkpoint_step,
                                     restore_checkpoint, save_checkpoint,
-                                    save_weights_npz)
+                                    save_weights_npz, wait_for_checkpoints)
     from ..utils.lr_policy import get_lr_at_iter
     from ..utils.logging_utils import setup_logging
     from ..utils.training_stats import TrainingStats
@@ -183,6 +183,7 @@ def mode_train(args, cfg):
                 break
     if prev is not None:
         log_metrics(*prev)
+    wait_for_checkpoints(ckpt_dir)       # drain async orbax saves
     host_params = jax.tree.map(np.asarray, state.params)
     final = os.path.join(cfg.OUTPUT_DIR, "model_final.npz")
     save_weights_npz(final, host_params)
@@ -234,6 +235,7 @@ def mode_test(args, cfg):
         with open(out, "wb") as f:
             pickle.dump(dets, f)
         logger.info("merged %d shards -> %s", len(shard_paths), out)
+        _eval_detections(cfg, ds, dets, logger)
         return out
 
     model, params = _init_model(cfg, args.weights or cfg.TEST.WEIGHTS
@@ -257,7 +259,26 @@ def mode_test(args, cfg):
     with open(out, "wb") as f:
         pickle.dump(dets, f)
     logger.info("wrote %s", out)
+
+    # Skipped for sharded children (--video-range): the parent scores the
+    # merged detections over the full set.
+    if vrange is None:
+        _eval_detections(cfg, ds, dets, logger)
     return out
+
+
+def _eval_detections(cfg, ds, dets, logger):
+    """Dataset-level per-frame detection eval (parity: the reference's
+    test_engine ends in "datasets eval" — keypoint OKS-AP / box AP
+    [/ mask AP when MASK_ON], SURVEY §3.2 — scoring the detector before
+    tracking can mask a regression)."""
+    from ..tracking.evaluation import evaluate_detections
+    det_metrics = evaluate_detections(dets, ds, mask_on=cfg.MODEL.MASK_ON)
+    logger.info("detection metrics: %s", json.dumps(det_metrics, indent=2))
+    with open(os.path.join(cfg.OUTPUT_DIR,
+                           "detection_metrics.json"), "w") as f:
+        json.dump(det_metrics, f, indent=2)
+    return det_metrics
 
 
 def _finish_tracking(args, cfg, tracked, logger):

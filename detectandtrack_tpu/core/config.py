@@ -498,6 +498,10 @@ def assert_and_infer_cfg(cfg: Config) -> Config:
             raise ValueError(f"{name}.ROI_XFORM_METHOD must be RoIAlign "
                              "(RoIPool is not implemented — the reference's "
                              "PoseTrack configs all use RoIAlign)")
+    if cfg.MODEL.MASK_ON and cfg.MRCNN.ROI_MASK_HEAD != "1up4convs":
+        raise ValueError("MRCNN.ROI_MASK_HEAD: only '1up4convs' (the "
+                         "lineage's default mask head; other variants are "
+                         "not implemented)")
     if cfg.MODEL.KEYPOINTS_ON:
         if cfg.KRCNN.ROI_KEYPOINTS_HEAD != "v1convX":
             raise ValueError("KRCNN.ROI_KEYPOINTS_HEAD: only v1convX")

@@ -319,7 +319,13 @@ def _roi_align_pallas(
 # exact-everywhere fallback behind MODEL.ROI_ALIGN_IMPL.
 
 _ML_PATCH = 64
-_ML_GANG = 4        # rois per grid step (VMEM: 2·g·patch²·C·2B = 16 MB @ 4)
+
+# Gang size (rois per grid step) and pipeline depth (scratch slots) are
+# env-tunable for on-chip A/B (`DAT_ROI_GANG`, `DAT_ROI_SLOTS`); defaults
+# are the measured r4 winners. VMEM: slots·g·patch²·C·2B = 32 MB at
+# (8, 2) with C=256 bf16.
+_ML_GANG = int(__import__("os").environ.get("DAT_ROI_GANG", "8"))
+_ML_SLOTS = int(__import__("os").environ.get("DAT_ROI_SLOTS", "2"))
 
 
 def _roi_align_ml_kernel(
@@ -328,9 +334,10 @@ def _roi_align_ml_kernel(
     lvl_ref,         # (N,) i32
     *rest,
     p: int, s: int, n: int, n_lvl: int, hs, ws, c: int, g: int,
+    n_slots: int,
 ):
     feat_refs = rest[:n_lvl]
-    out_ref, patch0, patch1, sems = rest[n_lvl:]
+    out_ref, scratch, sems = rest[n_lvl:]
     i = pl.program_id(0)
     patch = _ML_PATCH
     nsteps = n // g                      # wrapper pads N to a multiple of g
@@ -364,7 +371,7 @@ def _roi_align_ml_kernel(
     def start_dma(idx, slot_ref, sem):
         # Every DMA is exactly (patch, patch, C) — levels are host-padded
         # to >= patch rows and + patch cols, so the semaphore byte count is
-        # uniform and the wait descriptor below always matches.
+        # uniform and the gang wait descriptor below always matches.
         oy, ox = origins(idx)
         slab = slab_ref[idx]
         branches = []
@@ -381,30 +388,37 @@ def _roi_align_ml_kernel(
             branches.append(mk())
         jax.lax.switch(jnp.clip(lvl_ref[idx], 0, n_lvl - 1), branches)
 
-    def start_gang(step, slot, sem_row):
-        # Kick off the g patch DMAs of gang `step` (one per roi, each with
-        # its own semaphore so waits stay per-patch).
+    def start_gang(step, slot):
+        # Kick off the g patch DMAs of gang `step`. They ALL signal the
+        # slot's ONE semaphore: the consumer then waits once per gang with
+        # a descriptor covering the whole (g, patch, patch, C) slot —
+        # semaphore waits were part of the measured patch-independent
+        # per-pair floor (r3 bisection), and this cuts them g×.
         for gg in range(g):
-            start_dma(step * g + gg, slot.at[gg], sem_row.at[gg])
+            start_dma(step * g + gg, scratch.at[slot, gg], sems.at[slot])
 
     @pl.when(i == 0)
     def _():
-        start_gang(0, patch0, sems.at[0])
+        # Warm-up: fill the first (n_slots - 1) pipeline slots.
+        for sl in range(n_slots - 1):
+            if sl < nsteps:
+                start_gang(sl, sl)
 
-    @pl.when(i + 1 < nsteps)
+    nxt = i + n_slots - 1
+    @pl.when(nxt < nsteps)
     def _():
-        slot = jax.lax.rem(i + 1, 2)
-        jax.lax.cond(
-            slot == 0,
-            lambda: start_gang(i + 1, patch0, sems.at[0]),
-            lambda: start_gang(i + 1, patch1, sems.at[1]),
-        )
+        jax.lax.switch(
+            jax.lax.rem(nxt, n_slots),
+            [(lambda sl=sl: start_gang(nxt, sl)) for sl in range(n_slots)])
 
-    cur = jax.lax.rem(i, 2)
-    for gg in range(g):
-        pltpu.make_async_copy(
-            feat_refs[0].at[0, pl.ds(0, patch), pl.ds(0, patch), :],
-            patch0.at[0], sems.at[cur, gg]).wait()
+    cur = jax.lax.rem(i, n_slots)
+    # ONE wait for the whole gang: the self-descriptor's byte count equals
+    # the g patch DMAs' total signal.
+    for sl in range(n_slots):
+        @pl.when(cur == sl)
+        def _(sl=sl):
+            pltpu.make_async_copy(scratch.at[sl], scratch.at[sl],
+                                  sems.at[sl]).wait()
 
     # Whole-gang batched compute: per-roi scalars gathered into (g,)
     # vectors, interp matrices built in ONE set of VPU ops, and the two
@@ -448,13 +462,12 @@ def _roi_align_ml_kernel(
         out = out.reshape(g, p, p, c).transpose(0, 2, 1, 3)
         out_ref[...] = out.astype(out_ref.dtype)
 
-    @pl.when(cur == 0)
-    def _():
-        pool(patch0)
-
-    @pl.when(cur != 0)
-    def _():
-        pool(patch1)
+    # Statically-predicated slot read (a lax.cond/switch on the buffer
+    # VALUE materialized a patch-sized VMEM copy per roi).
+    for sl in range(n_slots):
+        @pl.when(cur == sl)
+        def _(sl=sl):
+            pool(scratch.at[sl])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
@@ -494,11 +507,14 @@ def roi_align_multilevel_pallas(
          * jnp.take(scales, lvl)[:, None])
     slabs = jnp.repeat(jnp.arange(s_dim, dtype=jnp.int32), k)
 
-    # Gang g rois per grid step: one step waits on g patch DMAs and runs g
-    # interp matmuls — the per-step fixed cost (grid sequencing, scalar
-    # address math, DMA branch dispatch) amortizes g×. N is padded to a
-    # multiple of g with index-0-safe zero rois.
+    # Gang g rois per grid step: one step waits ONCE on its gang's g patch
+    # DMAs and runs g interp matmuls — the per-step fixed cost (grid
+    # sequencing, scalar address math, DMA branch dispatch, semaphore
+    # wait) amortizes g×. N is padded to a multiple of g with
+    # index-0-safe zero rois. `n_slots` pipeline slots keep up to
+    # (n_slots-1)·g + g patch DMAs in flight.
     g = _ML_GANG
+    n_slots = max(2, _ML_SLOTS)
     n_pad = ((n + g - 1) // g) * g
     if n_pad != n:
         r = jnp.pad(r, ((0, n_pad - n), (0, 0)))
@@ -513,21 +529,25 @@ def roi_align_multilevel_pallas(
             (g, p, p, c), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((g, patch, patch, c), features[0].dtype),
-            pltpu.VMEM((g, patch, patch, c), features[0].dtype),
-            pltpu.SemaphoreType.DMA((2, g)),
+            pltpu.VMEM((n_slots, g, patch, patch, c), features[0].dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
     kernel = functools.partial(
         _roi_align_ml_kernel, p=p, s=sampling_ratio, n=n_pad, n_lvl=n_lvl,
-        hs=hs, ws=ws, c=c, g=g)
+        hs=hs, ws=ws, c=c, g=g, n_slots=n_slots)
+    itemsize = jnp.dtype(features[0].dtype).itemsize
+    scratch_bytes = n_slots * g * patch * patch * c * itemsize
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, p, p, c), features[0].dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2 ** 20,
+            # Scratch + double-buffered out blocks + Mosaic headroom (an
+            # exact bound under-counted and OOM'd).
+            vmem_limit_bytes=min(120 * 2 ** 20,
+                                 scratch_bytes + 48 * 2 ** 20),
         ),
     )(r.reshape(-1), slabs, lvl, *feats_p)
     return out[:n].reshape(s_dim, k, p, p, c)

@@ -80,7 +80,27 @@ class Conv3d(nn.Module):
         # (k-1)·d + 1 keeps the spatial/temporal extent.
         pads = [(((k - 1) * d) // 2, ((k - 1) * d + 1) // 2)
                 for k, d in zip(self.kernel, self.dilation)]
-        if t == 1 and self.strides[0] == 1 and self.dilation[0] == 1:
+        if (self.kernel == (1, 1, 1) and self.groups == 1
+                and os.environ.get("DAT_CONV1X1_DOT", "0") == "1"):
+            # Experiment (DAT_CONV1X1_DOT): run 1×1 convs as a plain
+            # dot_general over (B·T·H·W, Cin) — on TPU, elementwise
+            # consumers (affine/residual-add/relu) can OUTPUT-FUSE into a
+            # dot but not into a convolution, so this may absorb the
+            # bottleneck's epilogue passes (~17 ms/iter of pure HBM
+            # round-trips at 800×1344 b2, r3 trace). Exact: a strided 1×1
+            # conv is subsample-then-matmul; f32 accumulation either way.
+            st, sh, sw = self.strides
+            y = x.astype(self.dtype)
+            if (st, sh, sw) != (1, 1, 1):
+                y = y[:, ::st, ::sh, ::sw, :]
+            b, tt, h, w, cin = y.shape
+            y = jax.lax.dot_general(
+                y.reshape(b * tt * h * w, cin),
+                kernel.reshape(cin, self.features).astype(self.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype).reshape(b, tt, h, w, self.features)
+        elif t == 1 and self.strides[0] == 1 and self.dilation[0] == 1:
             # Per-frame (t=1) convs run as 4-D convs with batch B·T: the
             # TPU conv emitter packs the batch dim into sublanes, and a
             # 5-D form leaves it at B (2-4) — B·T (16+) fills them. The

@@ -112,6 +112,7 @@ class GeneralizedRCNN(nn.Module):
             )
         if cfg.MODEL.MASK_ON:
             self.mask_head = MaskHead(num_classes=cfg.MODEL.NUM_CLASSES,
+                                      dim=cfg.MRCNN.DIM_REDUCED,
                                       dtype=dtype)
 
     # ------------------------------------------------------------------
@@ -273,16 +274,46 @@ class GeneralizedRCNN(nn.Module):
     # Inference stages (composed by __call__ and detect_tta)
     # ------------------------------------------------------------------
 
-    def _box_candidates(self, pyramid, image_hw, train: bool = False):
+    def _box_candidates(self, pyramid, image_hw, train: bool = False,
+                        proposals: Optional[jnp.ndarray] = None,
+                        run_rpn: bool = True):
         """Proposals + box head → per-candidate refined tubes and scores.
 
         → dict: tubes/p_scores/p_valid (B, K, ...), refined (B, K, 4T),
         scores (B, K), fc7 (B, K, C), cls_logits, box_deltas, rpn_raw.
+
+        `proposals` (B, Kp, 4T): externally-supplied proposal tubes (the
+        lineage's precomputed-proposals inference — Detectron proposal
+        files). With `run_rpn` the RPN + proposal NMS still execute and the
+        supplied tubes replace the selected ones through a runtime-true
+        select (so the proposal stage is NOT dead-code-eliminated —
+        `bench.py` uses this to measure the full graph at a controlled RoI
+        distribution); without it the RPN is skipped entirely (Fast
+        R-CNN-style inference).
         """
         cfg = self.cfg
         t = self.num_frames
-        (tubes, p_scores, p_valid), rpn_raw = self.propose(
-            pyramid, image_hw, train=train)
+        if proposals is None or run_rpn:
+            (tubes, p_scores, p_valid), rpn_raw = self.propose(
+                pyramid, image_hw, train=train)
+            if proposals is not None:
+                kp = proposals.shape[1]
+                base = tubes[:, :kp]
+                if kp > tubes.shape[1]:
+                    base = jnp.pad(
+                        tubes, ((0, 0), (0, kp - tubes.shape[1]), (0, 0)))
+                # isfinite(sum(scores)) is always True at runtime but XLA
+                # cannot prove it, so the RPN/NMS outputs stay live.
+                keep = jnp.isfinite(jnp.sum(p_scores))
+                tubes = jnp.where(keep, jnp.asarray(proposals, jnp.float32),
+                                  base)
+                p_scores = jnp.ones(tubes.shape[:2], jnp.float32)
+                p_valid = jnp.ones(tubes.shape[:2], bool)
+        else:
+            tubes = jnp.asarray(proposals, jnp.float32)
+            p_scores = jnp.ones(tubes.shape[:2], jnp.float32)
+            p_valid = jnp.ones(tubes.shape[:2], bool)
+            rpn_raw = []
         b, k = tubes.shape[0], tubes.shape[1]
 
         pooled = self.roi_transform(
@@ -562,6 +593,47 @@ class GeneralizedRCNN(nn.Module):
         if cfg.MODEL.MASK_ON:
             out["masks"] = self._mask_outputs(pyramid, det_boxes)
 
+        return out
+
+    def detect_with_proposals(self, clips: jnp.ndarray,
+                              proposals: jnp.ndarray,
+                              run_rpn: bool = False
+                              ) -> Dict[str, jnp.ndarray]:
+        """Inference on externally-supplied proposal tubes (B, Kp, 4T).
+
+        Parity: the lineage's precomputed-proposals path — Detectron models
+        run with proposal FILES instead of an RPN (`TEST.PROPOSAL_FILES` /
+        Fast-R-CNN-style inference in `core/test.py`, SURVEY §2.1 inference
+        core). `run_rpn=False` skips the RPN exactly like the lineage;
+        `run_rpn=True` keeps the RPN + proposal NMS in the compiled graph
+        (their outputs replaced by `proposals` through a runtime select) —
+        used by bench.py to measure the production graph at a controlled,
+        realistic RoI level distribution instead of whatever degenerate
+        mix random weights produce.
+        """
+        cfg = self.cfg
+        b = clips.shape[0]
+        image_hw = (float(clips.shape[2]), float(clips.shape[3]))
+        pyramid = self.features(clips)
+        cand = self._box_candidates(pyramid, image_hw,
+                                    proposals=proposals, run_rpn=run_rpn)
+        det_boxes, det_scores, det_valid, det_feats = (
+            self._finalize_detections(cand["refined"], cand["scores"],
+                                      cand["p_valid"], cand["fc7"]))
+        out = {
+            "boxes": det_boxes,
+            "scores": jnp.where(det_valid, det_scores, 0.0),
+            "valid": det_valid,
+            "features": det_feats,
+            "proposals": cand["tubes"],
+        }
+        if cfg.MODEL.KEYPOINTS_ON:
+            kps, hms = self._keypoint_outputs([(pyramid, False)],
+                                              det_boxes, image_hw[1])
+            out["keypoints"] = kps
+            out["heatmaps"] = hms
+        if cfg.MODEL.MASK_ON:
+            out["masks"] = self._mask_outputs(pyramid, det_boxes)
         return out
 
     def detect_tta(self, clips: jnp.ndarray) -> Dict[str, jnp.ndarray]:

@@ -76,6 +76,14 @@ class StreamingTrackingSink:
         self._next: Dict[str, int] = {}
         self._total: Dict[str, int] = {}
         self.tracked: Dict[str, List[dict]] = {}
+        # Max out-of-order frames ever buffered per video. The pipeline
+        # bounds this at O(batch × buckets × T): within one video every
+        # window feeds the SAME bucket per scale pass (bucket choice is a
+        # function of frame size + scale target), so pass-completion skew
+        # comes only from other videos' items sharing the queues — at most
+        # one batch per bucket — plus the double-buffered consume.
+        # tests/test_stream.py asserts the bound under stress.
+        self.buffer_high_water: Dict[str, int] = {}
 
     def __call__(self, vid: str, ordinal: int, total: int, frame: dict):
         if vid not in self._trackers:
@@ -87,7 +95,10 @@ class StreamingTrackingSink:
             self._next[vid] = 0
             self._total[vid] = total
             self.tracked[vid] = []
+            self.buffer_high_water[vid] = 0
         self._buffers[vid][ordinal] = frame
+        self.buffer_high_water[vid] = max(self.buffer_high_water[vid],
+                                          len(self._buffers[vid]))
         buf, tr, out = self._buffers[vid], self._trackers[vid], \
             self.tracked[vid]
         while self._next[vid] in buf:

@@ -401,3 +401,81 @@ def eval_keypoint_ap_oks(
             all_matches.append(row)
 
     return _summarize_ap(all_scores, all_matches, n_gt, thresholds)
+
+
+def evaluate_detections(
+    dets: Dict[str, List[Dict[str, np.ndarray]]],
+    dataset,
+    mask_on: bool = False,
+) -> Dict[str, float]:
+    """Dataset-level PER-FRAME detection metrics, pre-tracking.
+
+    Parity: the reference's `test_engine` ends every `--mode test` run by
+    evaluating the pickled detections against the dataset GT
+    (`json_dataset_evaluator.evaluate_keypoints` / `evaluate_boxes`
+    [/ `evaluate_masks` when MASK_ON] — SURVEY §3.2 "datasets eval" step).
+    Tracking-protocol metrics can mask a detector regression (e.g. score
+    calibration); this scores the detector alone.
+
+    `dets`: {video_id: [frame_dict, ...]} exactly as `run_inference`
+    returns (padded slots already filtered to `valid`; boxes in original
+    image coordinates). Returns a flat {"box_AP", "box_AP50", "box_AP75",
+    "keypoint_AP", ... [, "mask_AP", ...]} dict.
+    """
+    from ..ops.masks import paste_mask, rasterize_polygons
+
+    box_preds: Dict[str, List[Tuple[np.ndarray, float]]] = {}
+    box_gts: Dict[str, List[np.ndarray]] = {}
+    kp_preds: Dict[str, List[PoseAnnotation]] = {}
+    kp_gts: Dict[str, List[PoseAnnotation]] = {}
+    mask_preds: Dict[str, List[Tuple[np.ndarray, float]]] = {}
+    mask_gts: Dict[str, List[np.ndarray]] = {}
+
+    for vid, frames in dets.items():
+        records = dataset.video_frames(vid)
+        for fi, fr in enumerate(frames):
+            img = f"{vid}#{fi}"
+            rec = records[fi] if fi < len(records) else None
+            im_h = int(rec.height) if rec is not None and rec.height else 0
+            im_w = int(rec.width) if rec is not None and rec.width else 0
+
+            valid = np.asarray(fr["valid"], bool)
+            boxes = np.asarray(fr["boxes"], np.float64)[valid]
+            scores = np.asarray(fr["scores"], np.float64)[valid]
+            box_preds[img] = [(boxes[d], float(scores[d]))
+                              for d in range(len(boxes))]
+            if "keypoints" in fr:
+                kps = np.asarray(fr["keypoints"], np.float64)[valid]
+                kp_preds[img] = [
+                    PoseAnnotation(keypoints=kps[d], box=boxes[d],
+                                   score=float(scores[d]))
+                    for d in range(len(boxes))]
+            if mask_on and "masks" in fr and im_h and im_w:
+                probs = np.asarray(fr["masks"], np.float32)[valid]
+                mask_preds[img] = [
+                    (paste_mask(probs[d], boxes[d], im_h, im_w),
+                     float(scores[d]))
+                    for d in range(len(boxes))]
+
+            gts = dataset.gt_poses(rec) if rec is not None else []
+            box_gts[img] = [g["box"] for g in gts]
+            kp_gts[img] = [
+                PoseAnnotation(keypoints=g["keypoints"], box=g["box"],
+                               head_box=g["head_box"])
+                for g in gts
+                if (g["keypoints"][:, 2] > 0).any()]
+            if mask_on and im_h and im_w:
+                mask_gts[img] = [
+                    rasterize_polygons(g["segmentation"], im_h, im_w)
+                    for g in gts if g.get("segmentation")]
+
+    out: Dict[str, float] = {}
+    for k, v in eval_box_ap(box_preds, box_gts).items():
+        out[f"box_{k}"] = v
+    if kp_preds:
+        for k, v in eval_keypoint_ap_oks(kp_preds, kp_gts).items():
+            out[f"keypoint_{k}"] = v
+    if mask_on:
+        for k, v in eval_mask_ap(mask_preds, mask_gts).items():
+            out[f"mask_{k}"] = v
+    return out

@@ -25,21 +25,59 @@ import numpy as np
 
 # -- orbax full-state checkpoints -------------------------------------------
 
+# One manager per directory, kept alive for the process: orbax async saves
+# run on the manager's background thread, so the manager must outlive the
+# call, and two managers on one directory would race the async commit.
+_MANAGERS: Dict[str, Any] = {}
+
+
 def _manager(ckpt_dir: str, max_to_keep: int = 5):
     import orbax.checkpoint as ocp
-    return ocp.CheckpointManager(
-        os.path.abspath(ckpt_dir),
-        options=ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, create=True),
-    )
+    key = os.path.abspath(ckpt_dir)
+    mgr = _MANAGERS.get(key)
+    if mgr is None:
+        mgr = ocp.CheckpointManager(
+            key,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+        _MANAGERS[key] = mgr
+    return mgr
 
 
 def save_checkpoint(ckpt_dir: str, state, step: int,
                     max_to_keep: int = 5) -> None:
+    """Asynchronous save: orbax snapshots `state` to host buffers and
+    commits on a background thread — the train loop does NOT block on the
+    filesystem (the previous snapshot is drained first so at most one save
+    is in flight). Call `wait_for_checkpoints()` before reading the files
+    back or exiting."""
     import orbax.checkpoint as ocp
     mgr = _manager(ckpt_dir, max_to_keep)
     mgr.save(step, args=ocp.args.StandardSave(state))
-    mgr.wait_until_finished()
+
+
+def wait_for_checkpoints(ckpt_dir: Optional[str] = None) -> None:
+    """Block until in-flight async saves commit (one dir, or all)."""
+    if ckpt_dir is not None:
+        mgr = _MANAGERS.get(os.path.abspath(ckpt_dir))
+        if mgr is not None:
+            mgr.wait_until_finished()
+        return
+    for mgr in _MANAGERS.values():
+        mgr.wait_until_finished()
+
+
+def _drain_at_exit() -> None:
+    try:
+        wait_for_checkpoints()
+    except Exception:
+        pass
+
+
+import atexit  # noqa: E402  (registration belongs with the cache above)
+
+atexit.register(_drain_at_exit)
 
 
 def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
@@ -54,6 +92,7 @@ def restore_checkpoint(ckpt_dir: str, template, step: Optional[int] = None):
     state pytree). Returns (state, step) or (None, None)."""
     import orbax.checkpoint as ocp
     mgr = _manager(ckpt_dir)
+    mgr.wait_until_finished()        # don't read past an in-flight save
     step = step if step is not None else mgr.latest_step()
     if step is None:
         return None, None

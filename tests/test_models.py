@@ -391,3 +391,61 @@ def test_detect_tta_single_pass_consistency():
     assert np.isfinite(np.asarray(tta["scores"])).all()
     assert (np.asarray(tta["scores"]).max()
             >= np.asarray(plain["scores"]).max() - 1e-5)
+
+
+@pytest.mark.slow
+def test_detect_with_proposals_precomputed():
+    """Precomputed-proposals inference (lineage proposal-files path): the
+    supplied tubes drive the RoI heads — with run_rpn=False the RPN is
+    skipped; with run_rpn=True the full graph runs but detections must be
+    IDENTICAL (the runtime select always picks the supplied tubes)."""
+    cfg = load_cfg(opts=TINY_OPTS + [
+        "VIDEO.VIDEO_ON", True,
+        "VIDEO.NUM_FRAMES", 2,
+    ])
+    model = build_model(cfg)
+    rng = np.random.default_rng(1)
+    clip = jnp.asarray(rng.normal(size=(1, 2, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), clip)
+
+    k = cfg.RPN.POST_NMS_TOP_N_TEST
+    base = rng.uniform(4, 28, size=(1, k, 1, 4)).astype(np.float32)
+    tubes = np.tile(base, (1, 1, 2, 1)).reshape(1, k, 8)
+    tubes[..., 2::4] = tubes[..., 0::4] + rng.uniform(8, 24, size=(1, k, 2))
+    tubes[..., 3::4] = tubes[..., 1::4] + rng.uniform(8, 24, size=(1, k, 2))
+    tubes = jnp.asarray(tubes)
+
+    out_norpn = model.apply(params, clip, tubes, False,
+                            method="detect_with_proposals")
+    out_rpn = model.apply(params, clip, tubes, True,
+                          method="detect_with_proposals")
+    assert out_norpn["boxes"].shape == (1, 5, 8)
+    np.testing.assert_allclose(np.asarray(out_norpn["boxes"]),
+                               np.asarray(out_rpn["boxes"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_norpn["scores"]),
+                               np.asarray(out_rpn["scores"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_norpn["keypoints"]),
+                               np.asarray(out_rpn["keypoints"]), atol=1e-4)
+    # The supplied proposals are what the graph reports back.
+    np.testing.assert_allclose(np.asarray(out_rpn["proposals"]),
+                               np.asarray(tubes), atol=1e-5)
+
+
+def test_conv1x1_dot_path_exact(monkeypatch):
+    """DAT_CONV1X1_DOT runs 1x1 convs as dot_general (TPU dots take output
+    fusions; convs don't) — must be numerically equivalent to the conv
+    path, including strided 1x1 (stride-on-1x1 lineage convention)."""
+    from detectandtrack_tpu.models.backbone import Conv3d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 8, 12, 16)), jnp.float32)
+    for strides in [(1, 1, 1), (1, 2, 2)]:
+        m = Conv3d(24, (1, 1, 1), strides, dtype=jnp.float32)
+        params = m.init(jax.random.PRNGKey(1), x)
+        monkeypatch.setenv("DAT_CONV1X1_DOT", "0")
+        y_conv = m.apply(params, x)
+        monkeypatch.setenv("DAT_CONV1X1_DOT", "1")
+        y_dot = m.apply(params, x)
+        assert y_dot.shape == y_conv.shape
+        np.testing.assert_allclose(np.asarray(y_dot), np.asarray(y_conv),
+                                   atol=1e-5, rtol=1e-5)

@@ -7,6 +7,8 @@ PoseTrack with overlapping tail windows (a frame written by two windows)
 and multiple videos interleaved through the bucket queues.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -131,3 +133,78 @@ def test_streaming_with_multiscale_kps_aug(tmp_path):
                                           fr_o["track_ids"])
             np.testing.assert_allclose(fr_s["keypoints"],
                                        fr_o["keypoints"])
+
+
+@pytest.mark.slow
+def test_streaming_stress_interleaved_videos_memory_bound(tmp_path):
+    """Scale stress (VERDICT r3 #8): many interleaved videos of MIXED
+    frame sizes (different bucket routes) + multi-scale TTA + KPS_AUG,
+    batch > 1 — maximal out-of-order pressure on the sink. Asserts
+    (a) streamed results equal the offline two-pass run frame-for-frame,
+    (b) the sink's out-of-order buffer stays O(batch × buckets × T) per
+    video — it must never hold a whole video."""
+    # Two size populations → two bucket routes per scale pass.
+    j1 = generate_synthetic_posetrack(
+        str(tmp_path / "a"), num_videos=3, frames_per_video=7,
+        image_hw=(64, 96), people_per_video=2, seed=21)
+    j2 = generate_synthetic_posetrack(
+        str(tmp_path / "b"), num_videos=3, frames_per_video=5,
+        image_hw=(96, 64), people_per_video=1, seed=22)
+    # Merge into one dataset file (distinct video ids).
+    import json as _json
+    with open(j1) as f:
+        d1 = _json.load(f)
+    with open(j2) as f:
+        d2 = _json.load(f)
+    off = max(im["id"] for im in d1["images"]) + 1
+    for im in d2["images"]:
+        im["id"] += off
+        im["vid_id"] = "b_" + str(im.get("vid_id", ""))
+        im["file_name"] = os.path.join("..", "b", im["file_name"])
+    for an in d2["annotations"]:
+        an["image_id"] += off
+    d1["images"] += d2["images"]
+    d1["annotations"] += d2["annotations"]
+    merged = str(tmp_path / "a" / "merged.json")
+    with open(merged, "w") as f:
+        _json.dump(d1, f)
+
+    ds = PosetrackDataset(merged, str(tmp_path / "a"))
+    assert len(ds.videos()) == 6
+    # Landscape videos route main-scale→[64,96], aug→[32,64]; portrait
+    # videos route main→[96,96], aug→[64,96] — crossed bucket routes, so
+    # queue fill order interleaves across populations.
+    buckets = [[32, 64], [64, 96], [96, 96]]
+    cfg = load_cfg(opts=TINY + [
+        "VIDEO.VIDEO_ON", True,
+        "VIDEO.NUM_FRAMES", 2,
+        "TEST.BBOX_AUG_ENABLED", True,
+        "TEST.BBOX_AUG_SCALES", "[32]",
+        "TEST.KPS_AUG_ENABLED", True,
+        "TEST.SHAPE_BUCKETS", str(buckets),
+    ])
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 64, 96, 3), jnp.float32))
+
+    batch = 2
+    sink = StreamingTrackingSink(cfg=cfg)
+    dets = run_inference(cfg, model, params, ds, batch_size=batch,
+                         frame_sink=sink)
+    streamed = sink.results()
+    offline = run_posetrack_tracking(dets, cfg=cfg)
+
+    assert set(streamed) == set(offline)
+    for vid in offline:
+        assert len(streamed[vid]) == len(offline[vid])
+        for s, o in zip(streamed[vid], offline[vid]):
+            np.testing.assert_array_equal(s["track_ids"], o["track_ids"])
+            np.testing.assert_array_equal(s["boxes"], o["boxes"])
+
+    t = cfg.VIDEO.NUM_FRAMES
+    bound = batch * len(buckets) * t * 2
+    for vid, hw in sink.buffer_high_water.items():
+        n_frames = len(offline[vid])
+        assert hw <= bound, (vid, hw, bound)
+        if n_frames > bound:          # the bound actually bites here
+            assert hw < n_frames

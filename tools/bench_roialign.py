@@ -1,23 +1,35 @@
-"""Microbench the multilevel Pallas RoIAlign at production shapes.
+"""Microbench multilevel RoIAlign implementations at production shapes.
 
-Measures the kernel ALONE at a realistic roi/level mix — the full-model
-bench initializes random weights, whose proposals degenerate to one FPN
+Measures the kernels ALONE at a realistic roi/level mix — the full-model
+bench with random weights produces proposals that degenerate to one FPN
 level and understate patch-DMA spread (STATUS r3 "Where the time goes").
+This is the probe behind the MODEL.ROI_ALIGN_IMPL production default: all
+four implementations (pallas / dense / hybrid / gather) run the same box
+(7x7, K=300) and keypoint (14x14, K=100) stages at the 800x1344 FPN
+pyramid.
 
 The jitted fn reduces the pooled output to a scalar IN-GRAPH: device_get
 of the full (N, P, P, C) output crosses the axon tunnel at ~10 MB/s and
 would dominate wall time (a 120 MB fetch measured 14 s).
 
-Usage: python tools/bench_roialign.py [iters]
-r3 record (v5e, bf16, gang=4, patch=64): box 7x7 K=300 ≈ 9.9 µs/pair,
-kps 14x14 K=100 ≈ 25.5 µs/pair — a fixed per-pair floor that patch size
-(64→32: −17%), gang width, and dot dtype barely move; suspected Mosaic
-per-DMA/step latency.
+Usage: python tools/bench_roialign.py [iters] [impl,impl,...]
+Env: DAT_ROI_GANG / DAT_ROI_SLOTS tune the pallas kernel's gang width and
+pipeline depth.
+
+r3 record (v5e, bf16, gang=4, patch=64): pallas box ≈ 9.9 µs/pair,
+kps ≈ 25.5 µs/pair — a fixed per-pair floor that patch size (64→32:
+−17%), gang width, and dot dtype barely moved; bisection pinned ~75% of
+it on patch-independent per-pair machinery (semaphore wait + DMA issue +
+pipeline), which the r4 gang-wait/gang-8 rework attacks.
 """
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "dat_jax_cache"))
 
 import numpy as np
 
@@ -27,10 +39,13 @@ def main():
     import jax.numpy as jnp
 
     from detectandtrack_tpu.kernels.roi_align import (
-        roi_align_multilevel_pallas)
+        roi_align_multilevel_dense, roi_align_multilevel_gather,
+        roi_align_multilevel_hybrid, roi_align_multilevel_pallas)
     from detectandtrack_tpu.utils.profiling import device_time
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    impls = (sys.argv[2].split(",") if len(sys.argv) > 2
+             else ["pallas", "dense", "hybrid", "gather"])
     s_dim, c = 16, 256                      # B=2 x T=8 slabs
     rng = np.random.default_rng(0)
     shapes = [(200, 336), (100, 168), (50, 84), (25, 42)]  # 800x1344 FPN
@@ -52,15 +67,22 @@ def main():
                       3).astype(np.int32)
         return jnp.asarray(rois, jnp.float32), jnp.asarray(lvl)
 
+    fns = {"pallas": roi_align_multilevel_pallas,
+           "dense": roi_align_multilevel_dense,
+           "hybrid": roi_align_multilevel_hybrid,
+           "gather": roi_align_multilevel_gather}
+
     for name, k, p, s in [("box 7x7 K=300", 300, 7, 2),
                           ("kps 14x14 K=100", 100, 14, 2)]:
         rois, lvl = make_rois(k)
-        fn = jax.jit(lambda f, r, l, p=p, s=s: roi_align_multilevel_pallas(
-            f, strides, r, l, p, s).astype(jnp.float32).sum())
-        dt = device_time(fn, feats, rois, lvl, iters=iters, warmup=3)
         n = s_dim * k
-        print(f"{name}: {dt*1e3:7.3f} ms  ({dt/n*1e6:5.2f} us/pair, "
-              f"{n*64*64*c*2/dt/1e9:6.1f} GB/s patch DMA)", flush=True)
+        for impl in impls:
+            align = fns[impl]
+            fn = jax.jit(lambda f, r, l, p=p, s=s, align=align: align(
+                f, strides, r, l, p, s).astype(jnp.float32).sum())
+            dt = device_time(fn, feats, rois, lvl, iters=iters, warmup=3)
+            print(f"{name} [{impl:6s}]: {dt*1e3:7.3f} ms  "
+                  f"({dt/n*1e6:5.2f} us/pair)", flush=True)
 
 
 if __name__ == "__main__":
