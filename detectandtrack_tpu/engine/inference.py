@@ -68,7 +68,7 @@ def make_detect_fn(model: GeneralizedRCNN, mesh=None,
                    out_shardings=batch_sharded(mesh))
 
 
-def make_kps_aug_fns(model: GeneralizedRCNN, flip: bool):
+def make_kps_aug_fns(model: GeneralizedRCNN, flip: bool, mesh=None):
     """Jitted pair for the KPS_AUG multi-scale second phase.
 
     Parity: `im_detect_keypoints_aug` — the reference re-runs the body +
@@ -78,6 +78,11 @@ def make_kps_aug_fns(model: GeneralizedRCNN, flip: bool):
     `flip`); `decode_fn(params, hms (S, B, M, Tk, hs, hs, K),
     boxes_original)` averages across the S scale passes device-side and
     decodes once — heatmaps never cross the host link.
+
+    With a mesh, both phases shard the CLIP-BATCH dim over the devices
+    (dim 0 of clips/boxes; dim 1 of the scale-stacked heatmaps) — the
+    phase-2 batches are padded to `batch_size` by the runner, so the
+    shard shapes stay static.
     """
 
     def hm(params, clips, boxes):
@@ -88,7 +93,15 @@ def make_kps_aug_fns(model: GeneralizedRCNN, flip: bool):
         return model.apply(params, jnp.mean(hms, axis=0), boxes,
                            method=GeneralizedRCNN.decode_keypoints_from_heatmaps)
 
-    return jax.jit(hm), jax.jit(decode)
+    if mesh is None:
+        return jax.jit(hm), jax.jit(decode)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS, batch_sharded, replicated
+    repl, bsh = replicated(mesh), batch_sharded(mesh)
+    hms_sh = NamedSharding(mesh, P(None, DATA_AXIS))   # (S, B, ...)
+    return (jax.jit(hm, in_shardings=(repl, bsh, bsh), out_shardings=bsh),
+            jax.jit(decode, in_shardings=(repl, hms_sh, bsh),
+                    out_shardings=bsh))
 
 
 def clip_slice(det: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
@@ -199,11 +212,8 @@ def run_inference(
     kps_aug = (cfg.TEST.KPS_AUG_ENABLED and n_passes > 1
                and cfg.MODEL.KEYPOINTS_ON)
     if kps_aug:
-        if mesh is not None:
-            raise NotImplementedError(
-                "multi-scale KPS_AUG runs its second phase under plain jit;"
-                " use --subprocess-shards (not a mesh) to shard it")
-        kps_hm_fn, kps_decode_fn = make_kps_aug_fns(model, use_flip_aug)
+        kps_hm_fn, kps_decode_fn = make_kps_aug_fns(model, use_flip_aug,
+                                                    mesh)
 
     # Build the tiling window list (with end-aligned tails). `video_range`
     # restricts to a contiguous video slice — the unit of the reference's

@@ -322,9 +322,12 @@ _ML_PATCH = 64
 
 # Gang size (rois per grid step) and pipeline depth (scratch slots) are
 # env-tunable for on-chip A/B (`DAT_ROI_GANG`, `DAT_ROI_SLOTS`); defaults
-# are the measured r4 winners. VMEM: slots·g·patch²·C·2B = 32 MB at
-# (8, 2) with C=256 bf16.
-_ML_GANG = int(__import__("os").environ.get("DAT_ROI_GANG", "8"))
+# are the measured r4 winners at the realistic roi mix (v5e, µs/pair
+# box/kps): g4s2 9.03/24.18 · g8s2 9.13/24.20 · g16s2 9.72/23.82 ·
+# g8s3 12.19/25.91 · g16s3 VMEM-OOM. The single wait-per-gang is worth
+# ~9% over r3's per-patch waits; wider gangs and deeper pipelines are
+# not. VMEM: slots·g·patch²·C·2B = 16 MB at (4, 2) with C=256 bf16.
+_ML_GANG = int(__import__("os").environ.get("DAT_ROI_GANG", "4"))
 _ML_SLOTS = int(__import__("os").environ.get("DAT_ROI_SLOTS", "2"))
 
 

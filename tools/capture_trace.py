@@ -1,13 +1,20 @@
 """Capture a jax.profiler trace of the inference hot loop (one artifact per
-bucket). Usage: python tools/capture_trace.py [HxW] [batch] [outdir]
+bucket). Usage: python tools/capture_trace.py [HxW] [batch] [outdir] [mix]
 
-Keeps the committed trace artifacts under artifacts/ reproducible: same
-detector build path as bench.py, 3 traced iterations after warmup.
+`mix` = "realistic" (default; deterministic banded proposal tubes through
+the precomputed-proposals path with the RPN kept live — the bench.py
+headline graph) or "degenerate" (random-weight RPN proposals, the r1-r3
+graph). Keeps the committed trace artifacts under artifacts/ reproducible:
+same detector build path as bench.py, 3 traced iterations after warmup.
 """
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "dat_jax_cache"))
 
 
 def main():
@@ -15,14 +22,16 @@ def main():
     import jax
     import jax.numpy as jnp
     from detectandtrack_tpu.core.config import load_cfg
-    from detectandtrack_tpu.models.detector import build_model
+    from detectandtrack_tpu.models.detector import (GeneralizedRCNN,
+                                                    build_model)
     from detectandtrack_tpu.utils.profiling import trace, force_outputs
 
     bucket = sys.argv[1] if len(sys.argv) > 1 else "800x1344"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     bh, bw = (int(x) for x in bucket.split("x"))
+    mix = sys.argv[4] if len(sys.argv) > 4 else "realistic"
     outdir = (sys.argv[3] if len(sys.argv) > 3
-              else f"artifacts/trace_{bucket}_b{batch}")
+              else f"artifacts/trace_{bucket}_b{batch}_{mix}")
     cfg = load_cfg(opts=[
         "VIDEO.VIDEO_ON", True, "VIDEO.NUM_FRAMES", 8,
         "VIDEO.TIME_KERNEL_DIM", "[3, 3, 3, 3, 1]",
@@ -33,7 +42,15 @@ def main():
     rng = np.random.default_rng(0)
     clips = jnp.asarray(rng.normal(size=(batch, 8, bh, bw, 3)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), clips[:1])
-    det = jax.jit(lambda p, c: model.apply(p, c))
+    if mix == "realistic":
+        import bench
+        tubes = jnp.asarray(bench.make_realistic_tubes(
+            batch, cfg.RPN.POST_NMS_TOP_N_TEST, 8, bh, bw))
+        det = jax.jit(lambda p, c: model.apply(
+            p, c, tubes, True,
+            method=GeneralizedRCNN.detect_with_proposals))
+    else:
+        det = jax.jit(lambda p, c: model.apply(p, c))
     force_outputs(det(params, clips))        # compile + warm
     force_outputs(det(params, clips))
     with trace(outdir):
