@@ -290,17 +290,52 @@ class Conv1S2D(nn.Module):
                             kp = kp.at[:, by, bx, py, px].set(k[:, dy, dx])
         kp = kp.reshape(t, 4, 4, 12, 64)
 
-        xs = x.reshape(b, tt, h // 2, 2, w // 2, 2, 3)
-        xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
-            b, tt, h // 2, w // 2, 12)
+        if os.environ.get("DAT_S2D_IMPL", "reshape") == "slices":
+            # Space-to-depth as 4 strided slices + channel concat (exact
+            # same (py, px, c) channel order as the reshape/transpose
+            # form). A/B'd because the 7-D transpose materializes as a
+            # slow layout copy (41-76 GB/s in the r4/r5 traces).
+            xs = jnp.concatenate(
+                [x[:, :, py::2, px::2, :]
+                 for py in range(2) for px in range(2)], axis=-1)
+        else:
+            xs = x.reshape(b, tt, h // 2, 2, w // 2, 2, 3)
+            xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+                b, tt, h // 2, w // 2, 12)
+        xs = jnp.pad(xs.astype(self.dtype),
+                     ((0, 0), ((t - 1) // 2, t // 2), (0, 0), (0, 0),
+                      (0, 0)))
+        if t > 1 and os.environ.get("DAT_CONV1_IMPL",
+                                    "timefold") == "timefold":
+            # Fold the t temporal taps into INPUT CHANNELS and run ONE
+            # 4-D conv with cin = 12·t. Motivation (r5 b4 trace): the
+            # 12-channel tap convs ran at 9.4% MXU ≈ 12/128 — the conv
+            # emitter lane-pads tiny cin, so each of the 3 taps paid for
+            # a 128-lane conv. One 36-channel conv pays that price once.
+            # Measured on chip (tools/bench_conv.py conv1, b4 800×1344,
+            # whole region incl. relu+maxpool): timefold 40.5 ms vs
+            # inshift 51.7 ms (−22%). Exact: same taps, same adds,
+            # f32-accumulated either way (equivalence pinned by
+            # tests/test_models.py::test_conv1_space_to_depth_exact).
+            xcat = jnp.concatenate(
+                [jax.lax.dynamic_slice_in_dim(xs, kt, tt, axis=1)
+                 for kt in range(t)], axis=-1)
+            kcat = (kp.astype(self.dtype)
+                    .transpose(1, 2, 0, 3, 4)      # (4, 4, t, 12, 64)
+                    .reshape(4, 4, t * 12, 64))
+            y = jax.lax.conv_general_dilated(
+                xcat.reshape(b * tt, h // 2, w // 2, t * 12),
+                kcat,
+                window_strides=(1, 1),
+                padding=[(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y.reshape(b, tt, y.shape[1], y.shape[2], 64)
+            return AffineChannel(64, dtype=self.dtype, name="bn")(y)
         # Temporal taps as t shifted 4-D convs with batch B·T (the Conv3d
         # "inshift" decomposition): the 5-D NTHWC conv emitter chose
         # internal layouts that materialized ~15 ms/iter of pure copies
         # around conv1 in the r3 800×1344 trace; the 4-D form matches the
         # layout every other conv in the net uses.
-        xs = jnp.pad(xs.astype(self.dtype),
-                     ((0, 0), ((t - 1) // 2, t // 2), (0, 0), (0, 0),
-                      (0, 0)))
         y = None
         for kt in range(t):
             xk = jax.lax.dynamic_slice_in_dim(xs, kt, tt, axis=1)

@@ -286,10 +286,16 @@ def test_detector_dilated_c5():
     assert out["boxes"].shape == (1, 4, 4)
 
 
-def test_conv1_space_to_depth_exact():
+@pytest.mark.parametrize("conv1_impl", ["timefold", "inshift"])
+@pytest.mark.parametrize("s2d_impl", ["reshape", "slices"])
+def test_conv1_space_to_depth_exact(conv1_impl, s2d_impl, monkeypatch):
     """Conv1S2D (2x2 space-to-depth + 4x4/s1 scattered kernel) must equal
-    the plain 7x7/s2 conv1 bitwise-close, sharing the SAME param tree."""
+    the plain 7x7/s2 conv1 bitwise-close, sharing the SAME param tree —
+    for EVERY env-selected decomposition (DAT_CONV1_IMPL × DAT_S2D_IMPL),
+    so an on-chip A/B never trades speed for a silent numeric change."""
     from detectandtrack_tpu.models.backbone import Conv1S2D
+    monkeypatch.setenv("DAT_CONV1_IMPL", conv1_impl)
+    monkeypatch.setenv("DAT_S2D_IMPL", s2d_impl)
     rng = np.random.default_rng(3)
     for t, T in ((1, 1), (3, 4)):
         x = jnp.asarray(rng.normal(size=(2, T, 32, 48, 3)), jnp.float32)
