@@ -40,6 +40,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CAFFE2_GPU_CLIPS_PER_SEC_ESTIMATE = 0.5
 
+# TPU v5e (v5 lite) peak: 197 bf16 TFLOP/s per chip (394 is the INT8 TOPS
+# figure). Rounds 1-4 divided by 394e12, understating MFU 2x; corrected r5
+# after an on-chip probe: a dense 8192^3 bf16 matmul sustains 172 TF/s and
+# the model's own conv fusions reach 185 TF/s - both impossible against a
+# 394 peak, both ~90% of 197 (STATUS r5). f32-typed dots run at the same
+# rate (jax default matmul precision lowers them to bf16 multiplies), so
+# one constant serves both compute dtypes.
+PEAK_BF16_FLOPS = 197e12
+
 # Persistent compilation cache: every cold compile over the axon
 # remote-compile tunnel costs 10-20 min (STATUS measurement notes); a warm
 # cache turns a repeat bench (e.g. the driver's end-of-round run after a
@@ -175,7 +184,7 @@ def bench_infer():
     dt = _timed(detect_realistic, (params, clips, tubes), iters, fetch)
     clips_per_sec = batch * iters / dt
 
-    peak = 394e12 if cfg.MODEL.COMPUTE_DTYPE == "bfloat16" else 197e12
+    peak = PEAK_BF16_FLOPS  # bf16 MXU peak; f32 dots lower to bf16
     mfu = flops * iters / dt / peak * 100.0 if flops else None
 
     result = {
@@ -276,7 +285,7 @@ def bench_train():
     dt = time.perf_counter() - t0
 
     steps_per_sec = iters / dt
-    peak = 394e12 if cfg.MODEL.COMPUTE_DTYPE == "bfloat16" else 197e12
+    peak = PEAK_BF16_FLOPS  # bf16 MXU peak; f32 dots lower to bf16
     mfu = flops * iters / dt / peak * 100.0 if flops else None
     print(json.dumps({
         "metric": f"PoseTrack TRAIN steps/sec/chip "

@@ -46,9 +46,17 @@ def main():
         import bench
         tubes = jnp.asarray(bench.make_realistic_tubes(
             batch, cfg.RPN.POST_NMS_TOP_N_TEST, 8, bh, bw))
-        det = jax.jit(lambda p, c: model.apply(
-            p, c, tubes, True,
-            method=GeneralizedRCNN.detect_with_proposals))
+        # Tubes passed as an ARGUMENT (not a closed-over constant) and the
+        # same output leaves selected, so this is the exact headline graph
+        # benched by bench.py and the two tools share one compile-cache
+        # entry (identical jaxpr -> identical cache key).
+        @jax.jit
+        def detect_realistic(p, c, tb):
+            out = model.apply(p, c, tb, True,
+                              method=GeneralizedRCNN.detect_with_proposals)
+            return (out["boxes"], out["scores"], out["valid"],
+                    out.get("keypoints"))
+        det = lambda p, c: detect_realistic(p, c, tubes)
     else:
         det = jax.jit(lambda p, c: model.apply(p, c))
     force_outputs(det(params, clips))        # compile + warm
