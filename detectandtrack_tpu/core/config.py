@@ -238,6 +238,13 @@ class TestCfg:
     # Bucketed static input shapes (H, W multiples of FPN.COARSEST_STRIDE);
     # the pipeline pads every image/clip into one of these buckets.
     SHAPE_BUCKETS: Tuple[Tuple[int, int], ...] = _tup((800, 1344),)
+    # Precomputed-proposal inference (lineage TEST.PROPOSAL_FILES, Fast
+    # R-CNN style — the RPN is skipped): one pickle per TEST.DATASETS
+    # entry, `{video_id: {frame_idx: float (K_i, 4) boxes}}` in ORIGINAL
+    # image coordinates. For T>1 rows must correspond across frames (row k
+    # is tube k). Padded/truncated to RPN.POST_NMS_TOP_N_TEST per clip
+    # with a validity mask. Incompatible with BBOX_AUG/KPS_AUG.
+    PROPOSAL_FILES: Tuple[str, ...] = _tup()
 
 
 @dataclass(frozen=True)
@@ -483,9 +490,24 @@ def assert_and_infer_cfg(cfg: Config) -> Config:
     if not cfg.TRAIN.RPN_ON:
         raise ValueError(
             "TRAIN.RPN_ON=False is unsupported: the lineage's RPN-off mode "
-            "trains against precomputed proposals, and no precomputed-"
-            "proposal path exists here — the RPN is always part of the one "
-            "XLA train graph")
+            "trains against precomputed proposals; the proposal-files path "
+            "here (TEST.PROPOSAL_FILES) is inference-only — the RPN is "
+            "always part of the one XLA train graph")
+    if cfg.TEST.PROPOSAL_FILES:
+        if cfg.TEST.BBOX_AUG_ENABLED or cfg.TEST.KPS_AUG_ENABLED:
+            raise ValueError(
+                "TEST.PROPOSAL_FILES with BBOX_AUG/KPS_AUG is unsupported: "
+                "TTA re-runs detection at several scales, but supplied "
+                "proposals are single-scale fixed tubes")
+        if cfg.MODEL.RPN_ONLY:
+            raise ValueError("TEST.PROPOSAL_FILES with MODEL.RPN_ONLY is "
+                             "contradictory (proposals in, proposals out)")
+        if cfg.TEST.DATASETS and (len(cfg.TEST.PROPOSAL_FILES)
+                                  != len(cfg.TEST.DATASETS)):
+            raise ValueError(
+                "TEST.PROPOSAL_FILES needs one file per TEST.DATASETS "
+                f"entry (got {len(cfg.TEST.PROPOSAL_FILES)} files for "
+                f"{len(cfg.TEST.DATASETS)} datasets)")
     # TRANS_FUNC is derived from the depth (basic for R-18, bottleneck for
     # R-50/101 — the lineage's per-depth block choice).
     expected_trans = ("basic" if cfg.MODEL.CONV_BODY == "resnet18"

@@ -30,7 +30,7 @@ from ..models.detector import GeneralizedRCNN
 
 
 def make_detect_fn(model: GeneralizedRCNN, mesh=None,
-                   flip_tta: bool = False):
+                   flip_tta: bool = False, with_proposals: bool = False):
     """Jitted `detect(params, clips) → {boxes, scores, valid, keypoints}`.
 
     With a mesh, the clip batch (dim 0) is sharded across the devices and
@@ -41,12 +41,23 @@ def make_detect_fn(model: GeneralizedRCNN, mesh=None,
     `flip_tta` switches to the detector's in-graph flip-TTA method (box
     union + heatmap-level averaging — the reference's BBOX_AUG/KPS_AUG
     'hm_avg' semantics) in the SAME single dispatch.
+
+    `with_proposals` builds `detect(params, clips, tubes, tubes_valid)`
+    on the RPN-skipped precomputed-proposals path instead (the lineage's
+    TEST.PROPOSAL_FILES / Fast-R-CNN-style inference); mutually exclusive
+    with `flip_tta` (rejected at config validation).
     """
 
-    def detect(params, clips):
-        out = (model.apply(params, clips,
-                           method=GeneralizedRCNN.detect_tta)
-               if flip_tta else model.apply(params, clips))
+    def detect(params, clips, tubes=None, tubes_valid=None):
+        if with_proposals:
+            out = model.apply(
+                params, clips, tubes, False, tubes_valid,
+                method=GeneralizedRCNN.detect_with_proposals)
+        elif flip_tta:
+            out = model.apply(params, clips,
+                              method=GeneralizedRCNN.detect_tta)
+        else:
+            out = model.apply(params, clips)
         keep = {"boxes": out["boxes"], "scores": out["scores"],
                 "valid": out["valid"], "features": out["features"]}
         if "keypoints" in out:
@@ -63,9 +74,10 @@ def make_detect_fn(model: GeneralizedRCNN, mesh=None,
     if mesh is None:
         return jax.jit(detect)
     from ..parallel.mesh import batch_sharded, replicated
-    return jax.jit(detect,
-                   in_shardings=(replicated(mesh), batch_sharded(mesh)),
-                   out_shardings=batch_sharded(mesh))
+    bsh = batch_sharded(mesh)
+    in_sh = ((replicated(mesh), bsh, bsh, bsh) if with_proposals
+             else (replicated(mesh), bsh))
+    return jax.jit(detect, in_shardings=in_sh, out_shardings=bsh)
 
 
 def make_kps_aug_fns(model: GeneralizedRCNN, flip: bool, mesh=None):
@@ -102,6 +114,33 @@ def make_kps_aug_fns(model: GeneralizedRCNN, flip: bool, mesh=None):
     return (jax.jit(hm, in_shardings=(repl, bsh, bsh), out_shardings=bsh),
             jax.jit(decode, in_shardings=(repl, hms_sh, bsh),
                     out_shardings=bsh))
+
+
+def window_proposals(db: Dict, dataset: PosetrackDataset, vid: str,
+                     start: int, t: int, stride: int, kp: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Assemble one clip window's proposal tubes from a proposal-file dict
+    `{video_id: {frame_idx: (K_i, 4) boxes}}` (original image coords).
+
+    Row k across the window's frames is tube k (the proposal-file
+    contract; trivially true for T=1). Frames past the video end clamp to
+    the last frame, mirroring `clip_records`. Returns
+    ((kp, 4·t) float32 tubes, (kp,) bool valid): rows are truncated to
+    the window's common row count and padded to `kp` as invalid.
+    """
+    n = len(dataset.video_frames(vid))
+    vid_db = db.get(vid, {})
+    per = []
+    for i in range(t):
+        idx = min(start + i * stride, n - 1)
+        boxes = np.asarray(vid_db.get(idx, np.zeros((0, 4))), np.float32)
+        per.append(boxes.reshape(-1, 4))
+    k_eff = min(kp, min(len(b) for b in per))
+    tubes = np.zeros((kp, 4 * t), np.float32)
+    for i in range(t):
+        tubes[:k_eff, 4 * i:4 * i + 4] = per[i][:k_eff]
+    valid = np.arange(kp) < k_eff
+    return tubes, valid
 
 
 def clip_slice(det: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
@@ -197,8 +236,17 @@ def run_inference(
     t = cfg.VIDEO.NUM_FRAMES if cfg.VIDEO.VIDEO_ON else 1
     stride = cfg.VIDEO.FRAME_STRIDE if cfg.VIDEO.VIDEO_ON else 1
     use_flip_aug = cfg.TEST.BBOX_AUG_ENABLED or cfg.TEST.KPS_AUG_ENABLED
+    # Precomputed-proposal inference (lineage TEST.PROPOSAL_FILES): load
+    # the file for this dataset and run the RPN-skipped path. Config
+    # validation rejects the TTA combination, so n_passes == 1 here.
+    proposal_db = None
+    if cfg.TEST.PROPOSAL_FILES:
+        import pickle
+        with open(cfg.TEST.PROPOSAL_FILES[0], "rb") as f:
+            proposal_db = pickle.load(f)
     # One program per bucket; flip TTA runs inside that same program.
-    detect = make_detect_fn(model, mesh, flip_tta=use_flip_aug)
+    detect = make_detect_fn(model, mesh, flip_tta=use_flip_aug,
+                            with_proposals=proposal_db is not None)
     buckets = [tuple(b) for b in cfg.TEST.SHAPE_BUCKETS]
     # Multi-scale TTA (BBOX_AUG_SCALES): every clip runs once per scale;
     # passes are merged (union + NMS) in original-image coordinates.
@@ -382,7 +430,17 @@ def run_inference(
         while len(full) < batch_size:
             full.append(full[-1])
         clips = jnp.asarray(np.stack([it[2]["clips"] for it in full]))
-        det = detect(params, clips)
+        if proposal_db is not None:
+            # Proposal files are in original image coords; the model runs
+            # in bucket coords, so scale each clip's tubes by its scale.
+            tubes = jnp.asarray(np.stack(
+                [it[2]["tubes"] * np.float32(it[2]["scale"])
+                 for it in full]))
+            tvalid = jnp.asarray(np.stack(
+                [it[2]["tubes_valid"] for it in full]))
+            det = detect(params, clips, tubes, tvalid)
+        else:
+            det = detect(params, clips)
         # Phase 2 re-runs the body per scale on the merged boxes; the
         # meta carries the scale TARGET so the clip can be re-decoded
         # deterministically at phase-2 submit (pixels are not pinned).
@@ -410,6 +468,10 @@ def run_inference(
                 target, cfg.TEST.MAX_SIZE, bucket_hw=bucket,
                 max_gt=1, num_keypoints=cfg.KRCNN.NUM_KEYPOINTS)
             item["target"] = target
+            if proposal_db is not None:
+                item["tubes"], item["tubes_valid"] = window_proposals(
+                    proposal_db, dataset, vid, start, t, stride,
+                    cfg.RPN.POST_NMS_TOP_N_TEST)
             queues[bucket].append((vid, start, item))
             if len(queues[bucket]) == batch_size:
                 submit(bucket)

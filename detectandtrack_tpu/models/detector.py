@@ -276,7 +276,8 @@ class GeneralizedRCNN(nn.Module):
 
     def _box_candidates(self, pyramid, image_hw, train: bool = False,
                         proposals: Optional[jnp.ndarray] = None,
-                        run_rpn: bool = True):
+                        run_rpn: bool = True,
+                        proposal_valid: Optional[jnp.ndarray] = None):
         """Proposals + box head → per-candidate refined tubes and scores.
 
         → dict: tubes/p_scores/p_valid (B, K, ...), refined (B, K, 4T),
@@ -311,8 +312,10 @@ class GeneralizedRCNN(nn.Module):
                 p_valid = jnp.ones(tubes.shape[:2], bool)
         else:
             tubes = jnp.asarray(proposals, jnp.float32)
-            p_scores = jnp.ones(tubes.shape[:2], jnp.float32)
-            p_valid = jnp.ones(tubes.shape[:2], bool)
+            p_valid = (jnp.ones(tubes.shape[:2], bool)
+                       if proposal_valid is None
+                       else jnp.asarray(proposal_valid, bool))
+            p_scores = p_valid.astype(jnp.float32)
             rpn_raw = []
         b, k = tubes.shape[0], tubes.shape[1]
 
@@ -597,7 +600,8 @@ class GeneralizedRCNN(nn.Module):
 
     def detect_with_proposals(self, clips: jnp.ndarray,
                               proposals: jnp.ndarray,
-                              run_rpn: bool = False
+                              run_rpn: bool = False,
+                              proposal_valid: Optional[jnp.ndarray] = None,
                               ) -> Dict[str, jnp.ndarray]:
         """Inference on externally-supplied proposal tubes (B, Kp, 4T).
 
@@ -610,13 +614,19 @@ class GeneralizedRCNN(nn.Module):
         used by bench.py to measure the production graph at a controlled,
         realistic RoI level distribution instead of whatever degenerate
         mix random weights produce.
+
+        `proposal_valid` (B, Kp) masks padded proposal rows (proposal
+        files rarely supply exactly Kp boxes per clip); only honored on
+        the run_rpn=False path — the bench's injected tubes are always
+        all-valid by construction.
         """
         cfg = self.cfg
         b = clips.shape[0]
         image_hw = (float(clips.shape[2]), float(clips.shape[3]))
         pyramid = self.features(clips)
         cand = self._box_candidates(pyramid, image_hw,
-                                    proposals=proposals, run_rpn=run_rpn)
+                                    proposals=proposals, run_rpn=run_rpn,
+                                    proposal_valid=proposal_valid)
         det_boxes, det_scores, det_valid, det_feats = (
             self._finalize_detections(cand["refined"], cand["scores"],
                                       cand["p_valid"], cand["fc7"]))
