@@ -447,7 +447,17 @@ def mode_demo_data(args, cfg):
     out = args.out or os.path.join(cfg.DATA.ROOT, "synthetic")
     json_path = generate_synthetic_posetrack(
         out, num_videos=4, frames_per_video=16, people_per_video=2)
-    print(f"synthetic dataset written: {json_path}")
+    generate_synthetic_posetrack(
+        out, num_videos=2, frames_per_video=16, people_per_video=2,
+        seed=1, json_name="val.json")
+    # Hard variant (separate dirs; see the catalog in data/posetrack.py).
+    hard_out = out.rstrip("/") + "_hard"
+    generate_synthetic_posetrack(
+        hard_out, num_videos=4, frames_per_video=16, seed=0, hard=True)
+    generate_synthetic_posetrack(
+        hard_out, num_videos=2, frames_per_video=16, seed=1, hard=True,
+        json_name="val.json")
+    print(f"synthetic dataset written: {json_path} (+val, +hard train/val)")
     return json_path
 
 

@@ -147,6 +147,13 @@ _CATALOG = {
     "posetrack_v1_val": ("annotations/val.json", "images"),
     "posetrack_synthetic_train": ("synthetic/train.json", "synthetic"),
     "posetrack_synthetic_val": ("synthetic/val.json", "synthetic"),
+    # De-saturated regression benchmark (VERDICT r4 #3): crowded /
+    # occluded / truncated / distractor-laden scenes that score mid-range,
+    # so ~1-point regressions are visible (data/synthetic.py hard=True).
+    "posetrack_synthetic_hard_train": ("synthetic_hard/train.json",
+                                       "synthetic_hard"),
+    "posetrack_synthetic_hard_val": ("synthetic_hard/val.json",
+                                     "synthetic_hard"),
 }
 
 
