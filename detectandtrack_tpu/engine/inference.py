@@ -206,6 +206,7 @@ def run_inference(
     mesh=None,
     video_range: Optional[Tuple[int, int]] = None,
     frame_sink=None,
+    dispatch_log: Optional[Dict] = None,
 ) -> Dict[str, List[Dict[str, np.ndarray]]]:
     """Detect over the whole dataset → per-video per-frame detections.
 
@@ -225,6 +226,14 @@ def run_inference(
     online mode; see `tracking.engine.StreamingTrackingSink`). A frame
     covered by two windows (the end-aligned tail overlap) is sunk only
     from its final writer, so sink contents == the returned dict.
+
+    `dispatch_log` — when given (a dict), records `(vid, frame_idx) →
+    time.perf_counter()` at the moment the frame's detection batch is
+    DISPATCHED to the device (async — the call returns before the chip
+    finishes). A frame written by two windows keeps its final writer's
+    dispatch time, matching the sink's emit source. bench.py's stream mode
+    pairs this with a timestamping sink wrapper to measure per-frame
+    dispatch→tracked-out latency (the online mode's figure of merit).
     """
     from ..data.pipeline import choose_scale, pick_bucket
 
@@ -441,6 +450,15 @@ def run_inference(
             det = detect(params, clips, tubes, tvalid)
         else:
             det = detect(params, clips)
+        if dispatch_log is not None:
+            import time
+            now = time.perf_counter()
+            for vid_, start_, _ in items:
+                nv = len(dataset.video_frames(vid_))
+                for fi in range(t):
+                    idx = start_ + fi * stride
+                    if idx < nv:      # later (tail) windows overwrite
+                        dispatch_log[(vid_, idx)] = now
         # Phase 2 re-runs the body per scale on the merged boxes; the
         # meta carries the scale TARGET so the clip can be re-decoded
         # deterministically at phase-2 submit (pixels are not pinned).

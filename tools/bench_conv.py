@@ -127,7 +127,9 @@ def bench_kps(iters):
 def bench_conv1(iters):
     """conv1 region: clips (B,T,800,1344,3) -> S2D -> 3-tap 4x4 conv ->
     affine+relu -> maxpool. Measures the whole region incl. the layout
-    copies the r3 trace blames on it (~20 ms/iter at b2)."""
+    copies the r3 trace blames on it (~20 ms/iter at b2). A/Bs every
+    env-selectable decomposition (DAT_CONV1_IMPL x DAT_S2D_IMPL) in one
+    process — all exact, equivalence pinned in tests/test_models.py."""
     import jax
     import jax.numpy as jnp
     from flax import linen as nn
@@ -146,24 +148,34 @@ def bench_conv1(iters):
         return nn.max_pool(y, (1, 3, 3), strides=(1, 2, 2),
                            padding=((0, 0), (1, 1), (1, 1)))
 
-    # region is not shape-preserving (maxpool downsamples), so chain by
-    # feeding a negligible function of the output back into the input —
-    # keeps every iteration data-dependent (nothing for the runtime to
-    # elide) without changing what is computed.
-    @jax.jit
-    def chain(p, x):
-        acc = jnp.float32(0)
-        for _ in range(iters):
-            s = jnp.sum(region(p, x).astype(jnp.float32))
-            acc = acc + s
-            x = x + s * 1e-30
-        return acc
+    def measure(label):
+        # region is not shape-preserving (maxpool downsamples), so chain
+        # by feeding a negligible function of the output back into the
+        # input — keeps every iteration data-dependent (nothing for the
+        # runtime to elide) without changing what is computed.
+        @jax.jit
+        def chain(p, x):
+            acc = jnp.float32(0)
+            for _ in range(iters):
+                s = jnp.sum(region(p, x).astype(jnp.float32))
+                acc = acc + s
+                x = x + s * 1e-30
+            return acc
 
-    float(chain(params, x))
-    t0 = time.perf_counter()
-    float(chain(params, x))
-    report("s2d_region", (time.perf_counter() - t0) / iters, flops,
-           "(incl. relu+maxpool)")
+        float(chain(params, x))
+        t0 = time.perf_counter()
+        float(chain(params, x))
+        report(label, (time.perf_counter() - t0) / iters, flops,
+               "(incl. relu+maxpool)")
+
+    variants = os.environ.get(
+        "BK_VARIANTS",
+        "timefold/reshape,timefold/slices,inshift/reshape,inshift/slices")
+    for v in variants.split(","):
+        c1, s2d = v.strip().split("/")
+        os.environ["DAT_CONV1_IMPL"] = c1
+        os.environ["DAT_S2D_IMPL"] = s2d
+        measure(v.strip())
 
 
 def main():
