@@ -118,12 +118,12 @@ class Conv3d(nn.Module):
             )
             y = y.reshape(b, tt, y.shape[1], y.shape[2], y.shape[3])
         elif self.strides[0] == 1:
-            # Temporal (t>1) convs, three exact decompositions (A/B'd on
-            # the real chip; DAT_TEMPORAL_CONV env selects for experiments):
-            # 800x1344 b2 bench: inshift 9.33 clips/s, outshift 8.34,
-            # so inshift is the default despite its t activation copies —
-            # the packed-output conv's 3x-wide HBM roundtrip costs more
-            # than the copies it saves.
+            # Temporal (t>1) convs, four exact decompositions (A/B'd on
+            # the real chip; DAT_TEMPORAL_CONV env selects for experiments;
+            # default "auto" picks per width — see below).
+            # 800x1344 b2 whole-model bench (r2): inshift 9.33 clips/s,
+            # outshift 8.34 — the packed-output conv's 3x-wide HBM
+            # roundtrip costs more than the copies it saves.
             #   y[τ] = Σ_k W_k * x[τ + k·d − lpad]  ≡  Σ_k z_k[τ + k·d − lpad]
             # with z_k[τ] = W_k * x[τ].
             # - "outshift": ONE 4-D conv with batch B·T computing all t taps
@@ -141,7 +141,50 @@ class Conv3d(nn.Module):
             lpad, rpad = pads[0]
             g = self.groups
             f = self.features
-            if impl == "outshift":
+            if impl == "auto":
+                # Experiment (measured and REJECTED as default): per-width
+                # policy — native5d for lane-starved cin<128, inshift
+                # above. In ISOLATION native5d wins the res2 shape
+                # (tools/bench_conv.py res2, b4 T=8 200x336 cin=64:
+                # native5d 8.70 ms vs inshift 10.83, timefold 12.07,
+                # outshift 19.60). At WHOLE-MODEL scale it loses: r5
+                # headline bench 10.718 clips/s / 47.0% MFU under auto vs
+                # 11.35 / 49.9% under inshift — the 5-D emitter's internal
+                # layouts force extra transitions against the 4-D (B·T
+                # merged) form every neighboring op uses, costing more
+                # than the lane fill buys. Kept selectable so the A/B is
+                # reproducible; microbench wins must re-prove themselves
+                # in context before becoming defaults.
+                impl = "native5d" if cin < 128 else "inshift"
+            if impl == "timefold" and g == 1:
+                # Fold the t taps into INPUT channels and run ONE conv
+                # with cin' = t·cin — the conv1 timefold trick applied to
+                # mid-net temporal convs. Motivation (r5 roofline): the
+                # res2 tap convs (cin=64) run at 38.6% MXU ≈ 77% of their
+                # 64/128 lane ceiling; one t·cin-channel conv raises the
+                # lane fill (192 → 2 tiles at 75%) and pays the grid setup
+                # once. Exact: same taps, same adds. Gated to groups==1
+                # (grouped kernels are block-diagonal over cin — folding
+                # taps into channels would cross the group boundaries).
+                xp = jnp.pad(x.astype(self.dtype),
+                             ((0, 0), (lpad, rpad), (0, 0), (0, 0),
+                              (0, 0)))
+                xcat = jnp.concatenate(
+                    [jax.lax.dynamic_slice_in_dim(xp, kt * d_t, tt,
+                                                  axis=1)
+                     for kt in range(t)], axis=-1)
+                kcat = (kernel.astype(self.dtype)
+                        .transpose(1, 2, 0, 3, 4)   # (kh, kw, t, cin, f)
+                        .reshape(kh, kw, t * cin, f))
+                y = jax.lax.conv_general_dilated(
+                    xcat.reshape(b * tt, h, w, t * cin), kcat,
+                    window_strides=self.strides[1:],
+                    padding=pads[1:],
+                    rhs_dilation=self.dilation[1:],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                y = y.reshape(b, tt, y.shape[1], y.shape[2], f)
+            elif impl == "outshift":
                 # (t, kh, kw, cin/g, f) → (kh, kw, cin/g, g, t, f/g) →
                 # (kh, kw, cin/g, t·f): group-major output layout so
                 # feature_group_count still sees g contiguous channel
@@ -175,7 +218,9 @@ class Conv3d(nn.Module):
                                      ((0, 0), (-o, 0), (0, 0), (0, 0),
                                       (0, 0)))
                     y = zk if y is None else y + zk
-            elif impl == "inshift":
+            elif impl in ("inshift", "timefold"):
+                # (timefold lands here when groups>1: the grouped fallback
+                # is the inshift form.)
                 xp = jnp.pad(x.astype(self.dtype),
                              ((0, 0), (lpad, rpad), (0, 0), (0, 0),
                               (0, 0)))
@@ -290,7 +335,47 @@ class Conv1S2D(nn.Module):
                             kp = kp.at[:, by, bx, py, px].set(k[:, dy, dx])
         kp = kp.reshape(t, 4, 4, 12, 64)
 
-        if os.environ.get("DAT_S2D_IMPL", "reshape") == "slices":
+        s2d_impl = os.environ.get("DAT_S2D_IMPL", "reshape")
+        conv1_impl = os.environ.get("DAT_CONV1_IMPL", "timefold")
+        if s2d_impl == "fold":
+            # Experiment (measured and REJECTED as default, kept for
+            # reproducibility): the r5 trace shows the S2D transpose +
+            # temporal pad + tap concat each materializing as a SEPARATE
+            # slow layout copy (58-260 GB/s vs 819 peak; ~21 ms/iter at
+            # b4 800x1344). Hypothesis: fold the W-parity into channels
+            # as a pure reshape (px, c already adjacent in memory) and do
+            # only the H-parity split with row-strided slices. On-chip
+            # A/B (tools/bench_conv.py conv1, b4): fold 43.0 ms vs
+            # reshape 40.3 — SLOWER. The copies are not assembly-order
+            # bound; they are the conv emitter's own input relayout plus
+            # the tiny-minor-dim (6 of 128 lanes) tiling, which every
+            # assembly of a 36-channel tensor pays.
+            xr = x.astype(self.dtype).reshape(b, tt, h, w // 2, 6)
+            if t > 1 and conv1_impl == "timefold":
+                # Build the timefold input DIRECTLY: one concat producing
+                # channel order (kt, py, px, c) — no intermediate 12-ch
+                # tensor, no separate pad pass (XLA fuses the pad into
+                # the concat operands).
+                xrp = jnp.pad(
+                    xr, ((0, 0), ((t - 1) // 2, t // 2), (0, 0), (0, 0),
+                         (0, 0)))
+                xcat = jnp.concatenate(
+                    [xrp[:, kt:kt + tt, py::2]
+                     for kt in range(t) for py in range(2)], axis=-1)
+                kcat = (kp.astype(self.dtype)
+                        .transpose(1, 2, 0, 3, 4)  # (4, 4, t, 12, 64)
+                        .reshape(4, 4, t * 12, 64))
+                y = jax.lax.conv_general_dilated(
+                    xcat.reshape(b * tt, h // 2, w // 2, t * 12),
+                    kcat,
+                    window_strides=(1, 1),
+                    padding=[(2, 1), (2, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y = y.reshape(b, tt, y.shape[1], y.shape[2], 64)
+                return AffineChannel(64, dtype=self.dtype, name="bn")(y)
+            xs = jnp.concatenate([xr[:, :, 0::2], xr[:, :, 1::2]],
+                                 axis=-1)
+        elif s2d_impl == "slices":
             # Space-to-depth as 4 strided slices + channel concat (exact
             # same (py, px, c) channel order as the reshape/transpose
             # form). A/B'd because the 7-D transpose materializes as a

@@ -287,7 +287,7 @@ def test_detector_dilated_c5():
 
 
 @pytest.mark.parametrize("conv1_impl", ["timefold", "inshift"])
-@pytest.mark.parametrize("s2d_impl", ["reshape", "slices"])
+@pytest.mark.parametrize("s2d_impl", ["fold", "reshape", "slices"])
 def test_conv1_space_to_depth_exact(conv1_impl, s2d_impl, monkeypatch):
     """Conv1S2D (2x2 space-to-depth + 4x4/s1 scattered kernel) must equal
     the plain 7x7/s2 conv1 bitwise-close, sharing the SAME param tree —
@@ -319,10 +319,15 @@ def test_conv1_space_to_depth_exact(conv1_impl, s2d_impl, monkeypatch):
     assert s2d.apply(p, x).shape == (1, 1, 16, 17, 64)
 
 
-def test_temporal_conv_shift_decomposition_exact():
-    """The t>1 shifted-4D-conv decomposition == the direct 5-D conv,
-    including temporal dilation (DILATE_TIME) and spatial stride."""
+@pytest.mark.parametrize("tconv_impl", ["auto", "inshift", "outshift",
+                                        "timefold", "native5d"])
+def test_temporal_conv_shift_decomposition_exact(tconv_impl, monkeypatch):
+    """Every t>1 temporal-conv decomposition (DAT_TEMPORAL_CONV) == the
+    direct 5-D conv, including temporal dilation (DILATE_TIME), spatial
+    stride, and grouped convs (timefold falls back to inshift for
+    groups>1 — grouped kernels are block-diagonal over cin)."""
     from detectandtrack_tpu.models.backbone import Conv3d
+    monkeypatch.setenv("DAT_TEMPORAL_CONV", tconv_impl)
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.normal(size=(2, 5, 12, 16, 6)), jnp.float32)
     for tdil, sstr, grp in ((1, 1, 1), (2, 1, 1), (1, 2, 1), (1, 1, 2),

@@ -170,7 +170,8 @@ def bench_conv1(iters):
 
     variants = os.environ.get(
         "BK_VARIANTS",
-        "timefold/reshape,timefold/slices,inshift/reshape,inshift/slices")
+        "timefold/fold,timefold/reshape,timefold/slices,"
+        "inshift/fold,inshift/reshape,inshift/slices")
     for v in variants.split(","):
         c1, s2d = v.strip().split("/")
         os.environ["DAT_CONV1_IMPL"] = c1
@@ -178,10 +179,35 @@ def bench_conv1(iters):
         measure(v.strip())
 
 
+def bench_res2(iters):
+    """res2's 3x3x3 temporal conv: (B, T, 200, 336, 64) -> 64. The r5
+    roofline shows its 3 inshift tap convs at 38.6% MXU (= 77% of the
+    cin=64 lane ceiling 64/128) costing 6 x 2.08 ms/iter at b4. A/Bs the
+    DAT_TEMPORAL_CONV decompositions on the exact shape (all exact —
+    tests/test_models.py::test_temporal_conv_shift_decomposition_exact)."""
+    import jax
+    import jax.numpy as jnp
+    from detectandtrack_tpu.models.backbone import Conv3d
+
+    bsz, t, h, w, cin = (int(os.environ.get("BK_B", "4")), 8, 200, 336, 64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(bsz, t, h, w, cin)), jnp.bfloat16)
+    flops = 2.0 * bsz * t * h * w * 9 * cin * 64 * 3
+
+    variants = os.environ.get(
+        "BK_VARIANTS", "inshift,timefold,outshift,native5d")
+    for v in (s.strip() for s in variants.split(",")):
+        os.environ["DAT_TEMPORAL_CONV"] = v
+        mod = Conv3d(64, (3, 3, 3), dtype=jnp.bfloat16)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        sec = timed(lambda x, p: mod.apply(p, x), (x, params), iters)
+        report(v, sec, flops)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "kps"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    {"kps": bench_kps, "conv1": bench_conv1}[which](iters)
+    {"kps": bench_kps, "conv1": bench_conv1, "res2": bench_res2}[which](iters)
 
 
 if __name__ == "__main__":
