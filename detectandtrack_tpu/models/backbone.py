@@ -337,6 +337,15 @@ class Conv1S2D(nn.Module):
 
         s2d_impl = os.environ.get("DAT_S2D_IMPL", "reshape")
         conv1_impl = os.environ.get("DAT_CONV1_IMPL", "timefold")
+        if conv1_impl == "pallas":
+            # Hand-written Pallas kernel (kernels/conv1.py): folds the
+            # whole 7x7xt window into the MXU contraction (K=7*6t) —
+            # escapes both the emitter's 36/128 lane ceiling and its
+            # ~21 ms/iter of 36-channel layout copies (r5 roofline).
+            from detectandtrack_tpu.kernels.conv1 import conv1_s2d_pallas
+            y = conv1_s2d_pallas(x, k, t, self.dtype,
+                                 jax.default_backend() != "tpu")
+            return AffineChannel(64, dtype=self.dtype, name="bn")(y)
         if s2d_impl == "fold":
             # Experiment (measured and REJECTED as default, kept for
             # reproducibility): the r5 trace shows the S2D transpose +

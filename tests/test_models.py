@@ -286,7 +286,7 @@ def test_detector_dilated_c5():
     assert out["boxes"].shape == (1, 4, 4)
 
 
-@pytest.mark.parametrize("conv1_impl", ["timefold", "inshift"])
+@pytest.mark.parametrize("conv1_impl", ["timefold", "inshift", "pallas"])
 @pytest.mark.parametrize("s2d_impl", ["fold", "reshape", "slices"])
 def test_conv1_space_to_depth_exact(conv1_impl, s2d_impl, monkeypatch):
     """Conv1S2D (2x2 space-to-depth + 4x4/s1 scattered kernel) must equal

@@ -170,7 +170,7 @@ def bench_conv1(iters):
 
     variants = os.environ.get(
         "BK_VARIANTS",
-        "timefold/fold,timefold/reshape,timefold/slices,"
+        "pallas/reshape,timefold/fold,timefold/reshape,timefold/slices,"
         "inshift/fold,inshift/reshape,inshift/slices")
     for v in variants.split(","):
         c1, s2d = v.strip().split("/")
