@@ -50,16 +50,24 @@ _LANE_PAD = 2          # lanes: folded col xc lives at lane xc + 2
 _MAX_YB = 12           # output rows per grid step (largest divisor wins)
 
 
-def _pick_yb(h2: int) -> int:
+def _pick_yb(h2: int, t: int):
+    """Largest yb <= _MAX_YB dividing h2 whose grid-step HBM offset
+    (2*yb*6t rows) is a multiple of the 8-row sublane tile — Mosaic
+    rejects unaligned dynamic memref slices. 2*yb*6t = 12*yb*t, so the
+    requirement is yb*t even. None -> caller falls back to plain conv."""
     for yb in range(min(_MAX_YB, h2), 0, -1):
-        if h2 % yb == 0:
+        if h2 % yb == 0 and (yb * t) % 2 == 0:
             return yb
-    return 1
+    return None
 
 
-def _prep_input(x, t, dtype):
-    """(B, T, H, W, 3) -> (B, T, H'*(6t), W/2 + 4) kt-interleaved,
-    channel-on-sublane, padded. One XLA copy (concat+transpose+pad fuse)."""
+def _prep_input(x, t, dtype, tail_pad=0, lane_tail=0):
+    """(B, T, H, W, 3) -> (B, T, H'*(6t) + tail_pad, W/2 + 4 + lane_tail)
+    kt-interleaved, channel-on-sublane, padded. One XLA copy
+    (concat+transpose+pad fuse). tail_pad: extra zero rows on the flat
+    window axis so the kernel's tile-rounded last DMA stays in bounds.
+    lane_tail: pads lanes to the 128 tile (Mosaic requires tile-aligned
+    HBM slices; the tiled buffer is lane-padded anyway, so this is free)."""
     b, tt, h, w, _ = x.shape
     w2 = w // 2
     xr = x.astype(dtype).reshape(b, tt, h, w2, 6)
@@ -72,9 +80,12 @@ def _prep_input(x, t, dtype):
         xp = xp[:, :tt]
     xp = xp.transpose(0, 1, 2, 4, 3)                    # (B,T,H',6t,W2)
     xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, 0),
-                      (_LANE_PAD, _LANE_PAD)))
+                      (_LANE_PAD, _LANE_PAD + lane_tail)))
     hp = h + 5
-    return xp.reshape(b, tt, hp * 6 * t, w2 + 2 * _LANE_PAD)
+    xk = xp.reshape(b, tt, hp * 6 * t, w2 + 2 * _LANE_PAD + lane_tail)
+    if tail_pad:
+        xk = jnp.pad(xk, ((0, 0), (0, 0), (0, tail_pad), (0, 0)))
+    return xk
 
 
 def _prep_weights(k7, t, dtype):
@@ -88,34 +99,68 @@ def _prep_weights(k7, t, dtype):
     return w.reshape(4, 64, 7 * t * 6)
 
 
-def _conv1_kernel(xk_ref, w_ref, out_ref, scratch, sem, *, t, yb, w2):
+def _conv1_kernel(xk_ref, w_ref, out_ref, scratch, sems, *, t, yb, w2,
+                  tt, ny):
+    """Flat 1-D grid over (b, tt, h2/yb) with a 2-slot DMA pipeline:
+    grid step i computes slot i%2 while slot (i+1)%2 is in flight — the
+    single-buffer form serialized 1280 synchronous ~0.7 MB copies behind
+    the compute (same structure as kernels/roi_align.py's gang slots)."""
     g = 6 * t                               # rows per input image row
     k = 7 * g                               # contraction per output row
-    yi = pl.program_id(2)
-    rows = (2 * yb + 5) * g
-    cp = pltpu.make_async_copy(
-        xk_ref.at[pl.program_id(0), pl.program_id(1),
-                  pl.ds(yi * (2 * yb) * g, rows), :],
-        scratch, sem)
-    cp.start()
-    cp.wait()
-    flat = scratch[:]
-    acc = [None] * yb
-    for m in range(4):
-        # out[l] = flat[l + m]: pltpu.roll wants a non-negative shift, so
-        # roll by (lanes - m). Used lanes l < w2 never read wrapped data
-        # (l + m <= w2 + 2 < lanes).
-        rolled = (pltpu.roll(flat, flat.shape[1] - m, axis=1) if m
-                  else flat)
-        wm = w_ref[m]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    # Slice length rounded up to the 8-row sublane tile (Mosaic requires
+    # tile-aligned dynamic HBM slices); _prep_input pads the input so the
+    # last window's round-up stays in bounds. The offset step 2*yb*g is
+    # 8-aligned by _pick_yb's yb*t-even rule.
+    rows = scratch.shape[1]
+
+    def start(idx, sl):
+        bi = idx // (tt * ny)
+        ti = (idx // ny) % tt
+        yi = idx % ny
+        pltpu.make_async_copy(
+            xk_ref.at[bi, ti, pl.ds(yi * (2 * yb) * g, rows), :],
+            scratch.at[sl], sems.at[sl]).start()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start(i + 1, jax.lax.rem(i + 1, 2))
+
+    def compute(sl):
+        # Matching-shape descriptor: wait() only needs the byte count.
+        pltpu.make_async_copy(
+            xk_ref.at[0, 0, pl.ds(0, rows), :], scratch.at[sl],
+            sems.at[sl]).wait()
+        flat = scratch[sl]
+        acc = [None] * yb
+        for m in range(4):
+            # out[l] = flat[l + m] for the used lanes l < w2 (l + m <=
+            # w2 + 2 < lanes). Expressed as a static two-slice concat:
+            # Mosaic's tpu.dynamic_rotate (what pltpu.roll lowers to)
+            # only supports 32-bit element types; this kernel runs bf16.
+            rolled = (jnp.concatenate([flat[:, m:], flat[:, :m]], axis=1)
+                      if m else flat)
+            wm = w_ref[m]
+            for r in range(yb):
+                win = rolled[2 * r * g:2 * r * g + k, :]
+                d = jax.lax.dot_general(
+                    wm, win, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc[r] = d if m == 0 else acc[r] + d
         for r in range(yb):
-            win = rolled[2 * r * g:2 * r * g + k, :]
-            d = jax.lax.dot_general(
-                wm, win, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc[r] = d if m == 0 else acc[r] + d
-    for r in range(yb):
-        out_ref[0, 0, r] = acc[r][:, :w2].T.astype(out_ref.dtype)
+            out_ref[0, 0, r] = acc[r][:, :w2].T.astype(out_ref.dtype)
+
+    # Statically-predicated slot read (same idiom as roi_align.py).
+    cur = jax.lax.rem(i, 2)
+    for sl in range(2):
+        @pl.when(cur == sl)
+        def _(sl=sl):
+            compute(sl)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -125,28 +170,35 @@ def conv1_s2d_pallas(x, k7, t, dtype, interpret=False):
     ((t-1)//2, t//2). H, W must be even."""
     b, tt, h, w, _ = x.shape
     h2, w2 = h // 2, w // 2
-    yb = _pick_yb(h2)
+    yb = _pick_yb(h2, t)
+    if yb is None:          # no tile-aligned row blocking (odd h2, odd t)
+        return _conv1_reference(x, k7, t, dtype)
     g = 6 * t
-    xk = _prep_input(x, t, dtype)
+    rows = (2 * yb + 5) * g
+    rows_up = -(-rows // 8) * 8             # kernel's tile-rounded DMA
+    wp = -(-(w2 + 2 * _LANE_PAD) // 128) * 128
+    xk = _prep_input(x, t, dtype, tail_pad=rows_up - rows,
+                     lane_tail=wp - (w2 + 2 * _LANE_PAD))
     wm = _prep_weights(k7, t, dtype)
-    wp = w2 + 2 * _LANE_PAD
 
-    kern = functools.partial(_conv1_kernel, t=t, yb=yb, w2=w2)
+    ny = h2 // yb
+    kern = functools.partial(_conv1_kernel, t=t, yb=yb, w2=w2, tt=tt,
+                             ny=ny)
     return pl.pallas_call(
         kern,
-        grid=(b, tt, h2 // yb),
+        grid=(b * tt * ny,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, yb, w2, 64),
-            lambda bi, ti, yi: (bi, ti, yi, 0, 0),
+            lambda i: (i // (tt * ny), (i // ny) % tt, i % ny, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tt, h2, w2, 64), dtype),
         scratch_shapes=[
-            pltpu.VMEM(((2 * yb + 5) * g, wp), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rows_up, wp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xk, wm)
