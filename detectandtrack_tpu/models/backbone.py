@@ -283,6 +283,16 @@ class ConvAffine(nn.Module):
         return AffineChannel(self.features, dtype=self.dtype, name="bn")(x)
 
 
+def _conv1_default() -> str:
+    """Default conv1 decomposition. On TPU the hand-written Pallas kernel
+    (kernels/conv1.py) measures fastest end-to-end (11.57 vs 11.35
+    clips/s at the r5 headline, tools/bench_conv.py region 35.4 vs
+    40.1 ms); off-TPU it would run in interpret mode (orders of magnitude
+    slower), so CPU/GPU default to the exactness-pinned timefold form."""
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "timefold"
+
+
 class _Conv1Kernel(nn.Module):
     """Holds conv1's canonical (t, 7, 7, 3, 64) kernel so the param tree
     (conv1/conv/kernel) is identical whether or not the space-to-depth
@@ -336,7 +346,7 @@ class Conv1S2D(nn.Module):
         kp = kp.reshape(t, 4, 4, 12, 64)
 
         s2d_impl = os.environ.get("DAT_S2D_IMPL", "reshape")
-        conv1_impl = os.environ.get("DAT_CONV1_IMPL", "timefold")
+        conv1_impl = os.environ.get("DAT_CONV1_IMPL") or _conv1_default()
         if conv1_impl == "pallas":
             # Hand-written Pallas kernel (kernels/conv1.py): folds the
             # whole 7x7xt window into the MXU contraction (K=7*6t) —
@@ -399,8 +409,8 @@ class Conv1S2D(nn.Module):
         xs = jnp.pad(xs.astype(self.dtype),
                      ((0, 0), ((t - 1) // 2, t // 2), (0, 0), (0, 0),
                       (0, 0)))
-        if t > 1 and os.environ.get("DAT_CONV1_IMPL",
-                                    "timefold") == "timefold":
+        if t > 1 and (os.environ.get("DAT_CONV1_IMPL")
+                      or _conv1_default()) == "timefold":
             # Fold the t temporal taps into INPUT CHANNELS and run ONE
             # 4-D conv with cin = 12·t. Motivation (r5 b4 trace): the
             # 12-channel tap convs ran at 9.4% MXU ≈ 12/128 — the conv
